@@ -214,15 +214,17 @@ def test_constrained_dynamics_pins_feet():
             np.testing.assert_allclose(acc, 0.0, atol=1e-6)
         else:
             np.testing.assert_allclose(np.asarray(forces[k]), 0.0, atol=1e-12)
-    # point-contact forces are expressed in the foot LOCAL frame; in world
-    # the active feet must push the robot up with a total on the order of
-    # its weight (not exact: random v/tau => nonzero com acceleration).
-    fz_world = 0.0
-    for k, fid in enumerate(feet[:3]):
+    # Newton: d(h_lin)/dt = m*g + sum of world contact forces.
+    hdot = np.asarray(
+        dynamics.centroidal_momentum_matrix(model, q) @ ddq
+        + dynamics.centroidal_momentum_time_variation(model, q, v)
+    )
+    f_world = np.zeros(3)
+    for k, fid in enumerate(feet):
         Rf, _ = kinematics.frame_placement(model, q, fid)
-        fz_world += float((np.asarray(Rf) @ np.asarray(forces[k]))[2])
-    weight = model.total_mass() * 9.81
-    assert 0.2 * weight < fz_world < 3.0 * weight
+        f_world += np.asarray(Rf) @ np.asarray(forces[k])
+    expected = model.total_mass() * model.gravity + f_world
+    np.testing.assert_allclose(hdot[:3], expected, atol=1e-6)
 
 
 def test_free_fall_dynamics():
