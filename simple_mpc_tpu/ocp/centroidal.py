@@ -230,6 +230,18 @@ class CentroidalOCP(OCPHandler):
     def get_reference_state(self, t: int):
         return jnp.concatenate([self.get_pose_base(t), self.get_velocity_base(t)])
 
+    def set_all_foot_translations(self, refs):
+        """Batched (T, nk, 3) write of every stage's foot positions — the
+        fused equivalent of the per-stage setReferencePose loop
+        (mpc.cpp:304-308)."""
+        sp = self.problem.stage_params._replace(contact_pose=jnp.asarray(refs))
+        self.problem = dataclasses.replace(self.problem, stage_params=sp)
+
+    def state_derivative(self, x, u, p):
+        """Continuous xdot (MPC::getStateDerivative capability,
+        mpc.cpp:346-352)."""
+        return self.ode(x, u, p)
+
     def update_terminal_constraint(self, com_ref):
         tp = self.problem.term_params._replace(com_ref=jnp.asarray(com_ref))
         self.problem = dataclasses.replace(self.problem, term_params=tp)

@@ -254,6 +254,17 @@ class KinodynamicsOCP(OCPHandler):
         return com + tau * h[:3] / self.mass - p.dcm_ref
 
     # -- reference get/setters (kinodynamics.cpp:155-338) --------------------
+    def set_all_foot_translations(self, refs):
+        """Batched (T, nk, 3) write of every stage's foot pose-cost targets
+        (fused equivalent of the setReferencePose loop, mpc.cpp:304-308)."""
+        sp = self.problem.stage_params._replace(foot_ref_p=jnp.asarray(refs))
+        self.problem = dataclasses.replace(self.problem, stage_params=sp)
+
+    def state_derivative(self, x, u, p):
+        """Continuous xdot [v; a] (MPC::getStateDerivative, mpc.cpp:346-352)."""
+        v = x[self.nq:]
+        return jnp.concatenate([v, self.ode_acc(x, u, p)])
+
     def set_reference_pose(self, t: int, ee_name: str, R, pos):
         k = self.model_handler.foot_nb(ee_name)
         sp = self.problem.stage_params

@@ -307,44 +307,44 @@ def constrained_fwd_dynamics(
     b = nle(model, q, v)
     dtype = q.dtype
     mask = jnp.asarray(contact_active, dtype=dtype)
+    ref = "local" if d == 3 else "local_world_aligned"
 
-    # stack contact Jacobians (nc*d, nv) and desired accelerations
-    Js, acc_err = [], []
-    for k, fid in enumerate(contact_frame_ids):
-        ref = "local" if d == 3 else "local_world_aligned"
-        J6 = frame_jacobian(model, q, fid, ref)
-        J = J6[:d]
-        Js.append(J)
-        # Jdot v via autodiff of (J(q) v) along the flow + Baumgarte terms
-        from .state import integrate
-        from .kinematics import frame_placement, frame_velocity
+    from .kinematics import feet_jacobians, frame_placement
+    from .state import integrate
 
-        def Jv_of_t(t, fid=fid, ref=ref):
-            qt = integrate(model, q, t * v)
-            return frame_jacobian(model, qt, fid, ref)[:d] @ v
+    # one fused FK pass for all contact Jacobians, and ONE jvp along the
+    # configuration flow for all Jdot v terms
+    def stacked_Jv(qq):
+        J6 = feet_jacobians(model, qq, contact_frame_ids, ref)  # (nc,6,nv)
+        return J6[:, :d, :]
 
-        jdot_v = jax.jacfwd(Jv_of_t)(jnp.zeros((), dtype=dtype))
-        vf = frame_velocity(model, q, v, fid, ref)[:d]
-        corr = kd * vf
-        if kp != 0.0:
-            Rf, pf = frame_placement(model, q, fid)
+    Jc_blocks, JdotV_blocks = jax.jvp(
+        lambda t: stacked_Jv(integrate(model, q, t * v)),
+        (jnp.zeros((), dtype=dtype),), (jnp.ones((), dtype=dtype),)
+    )
+    Jc = Jc_blocks.reshape(nc * d, model.nv)
+    jdot_v = (JdotV_blocks @ v).reshape(nc * d)
+
+    corr = kd * (Jc @ v)
+    if kp != 0.0:
+        from .kinematics import fk, frame_placements
+
+        oR, op = fk(model, q)
+        fR_all, fp_all = frame_placements(model, oR, op)
+        errs = []
+        for k, fid in enumerate(contact_frame_ids):
+            Rf, pf = fR_all[fid], fp_all[fid]
+            p_ref = (jnp.zeros(3, dtype=dtype) if contact_ref_p is None
+                     else jnp.asarray(contact_ref_p)[k].astype(dtype))
             if d == 3:
-                # position error in LOCAL frame
-                p_ref = (jnp.zeros(3, dtype=dtype) if contact_ref_p is None
-                         else jnp.asarray(contact_ref_p)[k].astype(dtype))
-                err = Rf.T @ (pf - p_ref)
+                errs.append(Rf.T @ (pf - p_ref))  # LOCAL position error
             else:
                 R_ref = (jnp.eye(3, dtype=dtype) if contact_ref_R is None
                          else jnp.asarray(contact_ref_R)[k].astype(dtype))
-                p_ref = (jnp.zeros(3, dtype=dtype) if contact_ref_p is None
-                         else jnp.asarray(contact_ref_p)[k].astype(dtype))
                 err6 = lie.log6((R_ref.T @ Rf, R_ref.T @ (pf - p_ref)))
-                # express in LOCAL_WORLD_ALIGNED
-                err = jnp.concatenate([R_ref @ err6[:3], R_ref @ err6[3:]])
-            corr = corr + kp * err
-        acc_err.append(jdot_v + corr)
-    Jc = jnp.concatenate(Js, axis=0)  # (nc*d, nv)
-    rhs_c = jnp.concatenate(acc_err)  # desired: Jc ddq + rhs_c = 0 (active)
+                errs.append(jnp.concatenate([R_ref @ err6[:3], R_ref @ err6[3:]]))
+        corr = corr + kp * jnp.concatenate(errs)
+    rhs_c = jdot_v + corr  # desired: Jc ddq + rhs_c = 0 (active rows)
 
     L = jnp.linalg.cholesky(M)
     Minv_Jt = jax.scipy.linalg.cho_solve((L, True), Jc.T)  # (nv, nc*d)

@@ -180,6 +180,31 @@ def frame_jacobian(model: RobotModel, q, frame_id: int, reference_frame: str = "
     return (J * mask[:, None]).T
 
 
+def feet_jacobians(model: RobotModel, q, frame_ids, reference_frame: str = "local"):
+    """Stacked (len(frame_ids), 6, nv) frame Jacobians sharing one FK pass.
+
+    The per-foot `frame_jacobian` recomputes FK; this fused version computes
+    the dof world axes once — the hot path of constrained dynamics.
+    """
+    Sw, oR, op = _dof_world_axes(model, q)
+    lin, ang = Sw[:, :3], Sw[:, 3:]
+    Js = []
+    for fid in frame_ids:
+        f = model.frames[fid]
+        Rf = oR[f.parent_joint] @ jnp.asarray(f.R, dtype=q.dtype)
+        pf = op[f.parent_joint] + oR[f.parent_joint] @ jnp.asarray(f.p, dtype=q.dtype)
+        mask = jnp.asarray(dof_ancestor_mask(model)[f.parent_joint], dtype=q.dtype)
+        lin_f = lin + jnp.cross(ang, pf[None, :])
+        J = jnp.concatenate([lin_f, ang], axis=1)
+        if reference_frame == "local":
+            Rt = Rf.T
+            J = jnp.concatenate([(Rt @ J[:, :3].T).T, (Rt @ J[:, 3:].T).T], axis=1)
+        elif reference_frame != "local_world_aligned":
+            raise ValueError(reference_frame)
+        Js.append((J * mask[:, None]).T)
+    return jnp.stack(Js)
+
+
 def frame_velocity(model: RobotModel, q, v, frame_id: int, reference_frame: str = "local_world_aligned"):
     """(6,) spatial velocity of a frame."""
     oR, op, vloc = fk_velocities(model, q, v)
