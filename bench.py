@@ -1,0 +1,72 @@
+"""Flagship benchmark: Go2 kinodynamics MPC solver throughput (BASELINE.md).
+
+Measures batched 1-iteration ProxDDP solves/s on one chip (the per-tick
+receding-horizon operation, mpc.cpp:212) for the Go2 kinodynamics T=100
+config.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: driver target is 10 000 solves/s on v5p-16 (8 chips) => 1 250
+solves/s/chip; vs_baseline = value / 1250.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 128)))
+    ap.add_argument("--horizon", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from simple_mpc_tpu.configs import make_go2_kinodynamics
+    from simple_mpc_tpu.parallel import BatchedSolver, tile_problem
+    from simple_mpc_tpu.solver.proxddp import ProxDDPSolver, SolverSettings
+
+    dtype = jnp.dtype(args.dtype)
+    ocp, mh, x0 = make_go2_kinodynamics(args.horizon)
+    # cast problem params to the bench dtype
+    problem = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        ocp.problem)
+    solver = ProxDDPSolver(ocp, SolverSettings(mu_init=1e-6, max_iters=1))
+
+    B, T = args.batch, args.horizon
+    problems = tile_problem(problem, B)
+    xs = jnp.tile(jnp.asarray(x0, dtype)[None, None], (B, T + 1, 1))
+    us = jnp.tile(jnp.asarray(ocp.get_reference_control(0), dtype)[None, None], (B, T, 1))
+    bs = BatchedSolver(solver, mesh=None)
+
+    res = bs.run(problems, xs, us)  # compile + first run
+    jax.block_until_ready(res.xs)
+    lams = (res.lam_eq, res.lam_in, res.lam_term)
+    res = bs.run(problems, res.xs, res.us, lams)  # warm-path compile
+    jax.block_until_ready(res.xs)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        lams = (res.lam_eq, res.lam_in, res.lam_term)
+        res = bs.run(problems, res.xs, res.us, lams)
+    jax.block_until_ready(res.xs)
+    dt = time.perf_counter() - t0
+
+    solves_per_s = B * args.iters / dt
+    print(json.dumps({
+        "metric": "go2_kinodynamics_T100_solves_per_s_per_chip",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / 1250.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,19 @@ class OCPHandler:
             )
         return stack_params(params)
 
+    # -- fused stage evaluation ----------------------------------------------
+    def stage_eval(self, x, u, p):
+        """(cost residuals, weights, eq, ineq, next state) in one pass.
+
+        Formulations whose pieces share expensive subcomputations (e.g. the
+        full-dynamics constrained-KKT solve) override this to evaluate them
+        once; the solver builds everything from this single bundle."""
+        r, w = self.cost_residuals(x, u, p)
+        g = self.eq_constraints(x, u, p)
+        h = self.ineq_constraints(x, u, p)
+        xnext = self.dynamics(x, u, p)
+        return r, w, g, h, xnext
+
     # -- common reference plumbing (ocp-handler.cpp:58-94) -------------------
     def set_reference_control(self, t: int, u_ref):
         sp = self.problem.stage_params

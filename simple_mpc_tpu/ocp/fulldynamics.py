@@ -144,15 +144,30 @@ class FullDynamicsOCP(OCPHandler):
             kp=self.kp, kd=self.kd, prox_mu=self.prox_mu,
         )
 
-    def dynamics(self, x, u, p):
+    def _integrate_acc(self, x, a):
+        """Semi-implicit Euler from a generalized acceleration."""
         dt = self.settings.timestep
         q, v = x[: self.nq], x[self.nq:]
-        a, _ = self._constrained_acc(x, u, p)
         v_next = v + dt * a
         from ..ops import state as st
 
         q_next = st.integrate(self.model, q, dt * v_next)
         return jnp.concatenate([q_next, v_next])
+
+    def dynamics(self, x, u, p):
+        a, _ = self._constrained_acc(x, u, p)
+        return self._integrate_acc(x, a)
+
+    def stage_eval(self, x, u, p):
+        """Fused bundle: the constrained-dynamics KKT solve is evaluated
+        ONCE and shared by the force cost, the force cones, and the
+        integrator (the solver differentiates this whole bundle in one
+        forward-mode pass)."""
+        a, forces = self._constrained_acc(x, u, p)
+        r, w = self._cost_residuals_with(x, u, p, forces)
+        g = self.eq_constraints(x, u, p)
+        h = self._ineq_with(x, u, p, forces)
+        return r, w, g, h, self._integrate_acc(x, a)
 
     def get_contact_forces(self, x, u, p):
         """Constraint forces (MPC::getContactForces capability,
@@ -161,6 +176,10 @@ class FullDynamicsOCP(OCPHandler):
 
     # -- costs ---------------------------------------------------------------
     def cost_residuals(self, x, u, p: FullStageParams):
+        _, forces = self._constrained_acc(x, u, p)
+        return self._cost_residuals_with(x, u, p, forces)
+
+    def _cost_residuals_with(self, x, u, p: FullStageParams, forces):
         s = self.settings
         q, v = x[: self.nq], x[self.nq:]
         r_state = self.space.difference(p.x_ref, x)
@@ -177,7 +196,6 @@ class FullDynamicsOCP(OCPHandler):
             else:
                 foot_rs.append(fp[fid] - p.foot_ref_p[k])
         # contact-force cost (active contacts only; masked otherwise)
-        _, forces = self._constrained_acc(x, u, p)
         rf = ((forces - p.f_ref) * p.contact_active[:, None]).reshape(-1)
         r = jnp.concatenate([r_state, r_u, hg] + foot_rs + [rf])
         wf = _dvec(s.w_frame)
@@ -220,6 +238,13 @@ class FullDynamicsOCP(OCPHandler):
         return jnp.concatenate(rows)
 
     def ineq_constraints(self, x, u, p: FullStageParams):
+        if self.settings.force_cone:
+            _, forces = self._constrained_acc(x, u, p)
+        else:
+            forces = None
+        return self._ineq_with(x, u, p, forces)
+
+    def _ineq_with(self, x, u, p: FullStageParams, forces):
         s = self.settings
         rows = []
         if s.torque_limits:
@@ -230,7 +255,6 @@ class FullDynamicsOCP(OCPHandler):
             rows.append(cones.mask_ineq(
                 cones.box(qj, jnp.asarray(s.qmin), jnp.asarray(s.qmax)), True))
         if s.force_cone:
-            _, forces = self._constrained_acc(x, u, p)
             for k in range(self.nk):
                 r = (cones.friction_cone(forces[k], s.mu) if self.fs == 3
                      else cones.wrench_cone(forces[k], s.mu, s.Lfoot, s.Wfoot))

@@ -352,7 +352,10 @@ def constrained_fwd_dynamics(
 
     m_rows = jnp.repeat(mask, d)  # (nc*d,)
     A = Jc @ Minv_Jt  # Delassus operator
-    A = A * m_rows[:, None] * m_rows[None, :] + jnp.diag(1.0 - m_rows) + prox_mu * jnp.eye(
+    # dtype-aware proximal floor: 1e-9 is f64-calibrated (reference
+    # ProximalSettings, fulldynamics.cpp:39); f32 needs ~50*eps
+    prox = max(prox_mu, 50.0 * float(jnp.finfo(dtype).eps))
+    A = A * m_rows[:, None] * m_rows[None, :] + jnp.diag(1.0 - m_rows) + prox * jnp.eye(
         nc * d, dtype=dtype
     )
     rhs = m_rows * (Jc @ free_acc + rhs_c)

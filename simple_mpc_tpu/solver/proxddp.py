@@ -7,15 +7,21 @@ feedback gains, 1-iteration receding-horizon operation.
 
 TPU-first design decisions:
   * every stage is linearized in parallel (vmap over the horizon) — the
-    expensive part (rigid-body dynamics Jacobians via jacfwd) becomes one
-    big batched kernel instead of T serial solves;
+    expensive part (rigid-body dynamics Jacobians) becomes one big batched
+    kernel instead of T serial evaluations;
+  * one fused `stage_eval` per stage supplies costs, constraints AND next
+    state from a single rigid-body evaluation (the constrained-dynamics
+    KKT solve is shared), and `jax.linearize` differentiates the whole
+    bundle in one forward-mode pass — this is what keeps the XLA graph
+    small enough to compile fast;
   * the backward Riccati recursion runs as `lax.scan` (serial oracle) or as
     an associative scan (parallel-in-time, cf. PAPERS.md "Parallelization
     of Riccati Recursion") — both produce identical gains;
   * the line search evaluates all step sizes simultaneously (vmap over
-    alpha) and picks the best merit — no sequential backtracking;
-  * constraints use Rockafellar AL with Gauss-Newton Hessians: everything
-    is a weighted residual, so one fused J^T W J per stage.
+    alpha, alpha=0 included so the iterate never regresses in merit);
+  * float32-ready numerics: dtype-aware floors on the AL penalty mu, the
+    proximal regularization, and a Jacobi-preconditioned Quu Cholesky —
+    f64-calibrated constants (mu=1e-8, reg=1e-9) would NaN on TPU f32.
 """
 from __future__ import annotations
 
@@ -37,7 +43,7 @@ class SolverSettings:
     mu_init: float = 1e-8
     max_iters: int = 100
     reg_init: float = 1e-9
-    alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+    alphas: tuple = (0.0, 1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
     parallel: bool = False  # associative-scan Riccati backward
 
 
@@ -54,6 +60,10 @@ class Results(NamedTuple):
     merit: jnp.ndarray  # scalar
 
 
+def _eps(dtype) -> float:
+    return float(jnp.finfo(dtype).eps)
+
+
 class ProxDDPSolver:
     """Solver bound to one OCP formulation (static structure)."""
 
@@ -63,23 +73,31 @@ class ProxDDPSolver:
         self.space = ocp.space
 
     # ------------------------------------------------------------------
-    # Stage machinery
+    # Fused trajectory evaluation
     # ------------------------------------------------------------------
-    def _al_residuals(self, x, u, p, lam_eq, lam_in, mu):
-        """All stage residuals + AL weights: cost + shifted eq + active ineq."""
-        ocp = self.ocp
-        r, w = ocp.cost_residuals(x, u, p)
-        g = ocp.eq_constraints(x, u, p)
-        h = ocp.ineq_constraints(x, u, p)
+    def _stage_bundle(self, x, u, p, lam_eq, lam_in, mu):
+        """(r_all, w_all, g, h, xnext) — one rigid-body evaluation."""
+        r, w, g, h, xnext = self.ocp.stage_eval(x, u, p)
         sh = h + mu * lam_in
         act = (sh > 0).astype(x.dtype)
         r_all = jnp.concatenate([r, g + mu * lam_eq, jnp.where(act > 0, sh, 0.0)])
         w_all = jnp.concatenate([w, jnp.full(g.shape, 1.0 / mu, x.dtype), act / mu])
-        return r_all, w_all, g, h
+        return r_all, w_all, g, h, xnext
 
-    def _stage_al_cost(self, x, u, p, lam_eq, lam_in, mu):
-        r_all, w_all, _, _ = self._al_residuals(x, u, p, lam_eq, lam_in, mu)
-        return 0.5 * jnp.sum(w_all * r_all * r_all)
+    def _eval_traj(self, problem, xs, us, lam_eq, lam_in, mu):
+        """Vmapped stage bundles over the horizon: AL cost pieces, raw
+        constraints, and multiple-shooting gaps in one fused pass."""
+        sp = problem.stage_params
+
+        def one(x, u, p, le, li, xn):
+            r_all, w_all, g, h, xnext = self._stage_bundle(x, u, p, le, li, mu)
+            gap = self.space.difference(xn, xnext)
+            cost = 0.5 * jnp.sum(w_all * r_all * r_all)
+            return cost, g, h, gap
+
+        costs, g_all, h_all, gaps = jax.vmap(one)(
+            xs[:-1], us, sp, lam_eq, lam_in, xs[1:])
+        return costs, g_all, h_all, gaps
 
     def _term_al_cost(self, x, p, lam_term, mu):
         ocp = self.ocp
@@ -88,33 +106,35 @@ class ProxDDPSolver:
         rg = g + mu * lam_term
         return 0.5 * jnp.sum(w * r * r) + 0.5 / mu * jnp.sum(rg * rg)
 
+    def _merit_from(self, costs, gaps, x0_gap, term_cost, mu):
+        gap_pen = 0.5 / mu * jnp.sum(gaps * gaps)
+        return (jnp.sum(costs) + term_cost + gap_pen
+                + 0.5 / mu * jnp.sum(x0_gap * x0_gap))
+
+    # ------------------------------------------------------------------
+    # Stage linearization (one forward-mode pass per stage)
+    # ------------------------------------------------------------------
     def _linearize_stage(self, x, u, xn, p, lam_eq, lam_in, mu):
-        """Tangent-space expansion of one stage: dynamics (A, B, gap d) and
-        AL cost gradient/Gauss-Newton Hessian."""
         space = self.space
         ndx, nu = space.ndx, self.ocp.nu
 
-        def resid_fn(dxu):
+        def bundle(dxu):
             xx = space.integrate(x, dxu[:ndx])
             uu = u + dxu[ndx:]
-            r_all, w_all, _, _ = self._al_residuals(xx, uu, p, lam_eq, lam_in, mu)
-            return r_all, w_all
+            r_all, w_all, _, _, xnext = self._stage_bundle(
+                xx, uu, p, lam_eq, lam_in, mu)
+            d = space.difference(xn, xnext)
+            return r_all, d, w_all  # w_all's tangent is zero; carried for w0
 
         z0 = jnp.zeros(ndx + nu, dtype=x.dtype)
-        (r0, w0) = resid_fn(z0)
-        J = jax.jacfwd(lambda z: resid_fn(z)[0])(z0)  # (nr, ndx+nu)
+        (r0, d0, w0), lin = jax.linearize(bundle, z0)
+        Jr_T, Jd_T, _ = jax.vmap(lin)(jnp.eye(ndx + nu, dtype=x.dtype))
+        J = Jr_T.T  # (nr, ndx+nu)
+        AB = Jd_T.T  # (ndx, ndx+nu)
         grad = J.T @ (w0 * r0)
         H = J.T @ (w0[:, None] * J)
-
-        def dyn_fn(dxu):
-            xx = space.integrate(x, dxu[:ndx])
-            uu = u + dxu[ndx:]
-            return space.difference(xn, self.ocp.dynamics(xx, uu, p))
-
-        d = dyn_fn(z0)  # multiple-shooting gap: f(x,u) (-) x_next
-        AB = jax.jacfwd(dyn_fn)(z0)  # (ndx, ndx+nu)
         A, B = AB[:, :ndx], AB[:, ndx:]
-        return dict(A=A, B=B, d=d,
+        return dict(A=A, B=B, d=d0,
                     qx=grad[:ndx], qu=grad[ndx:],
                     Qxx=H[:ndx, :ndx], Quu=H[ndx:, ndx:], Qux=H[ndx:, :ndx])
 
@@ -142,7 +162,7 @@ class ProxDDPSolver:
     # ------------------------------------------------------------------
     def _backward(self, lin, Vx_T, Vxx_T, reg):
         """Serial Riccati via lax.scan over the (stacked) stage expansions.
-        Returns feedforward k (T,nu), feedback K (T,nu,ndx), dual residual."""
+        Jacobi-preconditioned Cholesky on Quu keeps f32 stable."""
 
         def step(carry, s):
             Vx, Vxx = carry
@@ -154,10 +174,17 @@ class ProxDDPSolver:
             Quu = s["Quu"] + B.T @ Vxx @ B
             Qux = s["Qux"] + B.T @ Vxx @ A
             nu = Qu.shape[0]
-            Quu_r = Quu + reg * jnp.eye(nu, dtype=Qu.dtype)
-            L = jnp.linalg.cholesky(Quu_r)
-            k = -jax.scipy.linalg.cho_solve((L, True), Qu)
-            K = -jax.scipy.linalg.cho_solve((L, True), Qux)
+            dtype = Qu.dtype
+            # Jacobi preconditioning: D^-1/2 Quu D^-1/2 has unit diagonal
+            dscale = jnp.sqrt(jnp.abs(jnp.diag(Quu)) + _eps(dtype))
+            Qs = Quu / (dscale[:, None] * dscale[None, :])
+            Qs = Qs + reg * jnp.eye(nu, dtype=dtype)
+            L = jnp.linalg.cholesky(Qs)
+            rhs = jnp.concatenate([(Qu / dscale)[:, None], Qux / dscale[:, None]],
+                                  axis=1)
+            sol = jax.scipy.linalg.cho_solve((L, True), rhs) / dscale[:, None]
+            k = -sol[:, 0]
+            K = -sol[:, 1:]
             Vx_new = Qx + K.T @ Qu + Qux.T @ k + K.T @ Quu @ k
             Vxx_new = Qxx + K.T @ Qux + Qux.T @ K + K.T @ Quu @ K
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
@@ -186,20 +213,6 @@ class ProxDDPSolver:
         us_new = us + dus
         return xs_new, us_new
 
-    def _merit(self, problem, xs, us, lam_eq, lam_in, lam_term, mu):
-        ocp = self.ocp
-        sp = problem.stage_params
-        stage_costs = jax.vmap(
-            lambda x, u, p, le, li: self._stage_al_cost(x, u, p, le, li, mu)
-        )(xs[:-1], us, sp, lam_eq, lam_in)
-        term = self._term_al_cost(xs[-1], problem.term_params, lam_term, mu)
-        gaps = jax.vmap(lambda x, u, p, xn: self.space.difference(xn, ocp.dynamics(x, u, p)))(
-            xs[:-1], us, sp, xs[1:]
-        )
-        gap_pen = 0.5 / mu * jnp.sum(gaps * gaps)
-        x0_gap = self.space.difference(xs[0], problem.x0)
-        return jnp.sum(stage_costs) + term + gap_pen + 0.5 / mu * jnp.sum(x0_gap * x0_gap), gaps
-
     # ------------------------------------------------------------------
     # Main loop
     # ------------------------------------------------------------------
@@ -214,15 +227,20 @@ class ProxDDPSolver:
         ocp = self.ocp
         T = problem.horizon
         dtype = xs.dtype
+        eps = _eps(dtype)
         if lams is None:
             lam_eq = jnp.zeros((T, ocp.n_eq), dtype)
             lam_in = jnp.zeros((T, ocp.n_in), dtype)
             lam_term = jnp.zeros((ocp.n_term_eq,), dtype)
         else:
             lam_eq, lam_in, lam_term = lams
+        # dtype-aware floors: f64 keeps the reference's 1e-8; f32 floors at
+        # sqrt(eps) ~ 3e-4 (1/mu enters squared in the AL Hessian)
         mu = jnp.asarray(st.mu_init if mu is None else mu, dtype)
+        mu = jnp.maximum(mu, jnp.asarray(np.sqrt(eps), dtype))
+        reg = jnp.maximum(jnp.asarray(st.reg_init, dtype),
+                          jnp.asarray(50.0 * eps, dtype))
         n_iters = st.max_iters if max_iters is None else max_iters
-        reg = jnp.asarray(st.reg_init, dtype)
         alphas = jnp.asarray(st.alphas, dtype)
 
         def iteration(carry, _):
@@ -237,28 +255,33 @@ class ProxDDPSolver:
 
             def try_alpha(alpha):
                 xs_new, us_new = self._candidate(xs, us, lin, ks, Ks, dx0, alpha)
-                m, _ = self._merit(problem, xs_new, us_new, lam_eq, lam_in, lam_term, mu)
-                return m, xs_new, us_new
+                costs, g_all, h_all, gaps = self._eval_traj(
+                    problem, xs_new, us_new, lam_eq, lam_in, mu)
+                term = self._term_al_cost(xs_new[-1], problem.term_params, lam_term, mu)
+                x0_gap = self.space.difference(xs_new[0], problem.x0)
+                m = self._merit_from(costs, gaps, x0_gap, term, mu)
+                # NaN-poisoned candidates lose to every finite merit
+                m = jnp.where(jnp.isnan(m), jnp.inf, m)
+                return m, xs_new, us_new, g_all, h_all, gaps
 
-            merits, xs_cand, us_cand = jax.vmap(try_alpha)(alphas)
+            merits, xs_cand, us_cand, g_cand, h_cand, gap_cand = jax.vmap(try_alpha)(alphas)
             best = jnp.argmin(merits)
-            xs_n = xs_cand[best]
-            us_n = us_cand[best]
+            xs_n, us_n = xs_cand[best], us_cand[best]
+            g_all, h_all, gaps = g_cand[best], h_cand[best], gap_cand[best]
             merit = merits[best]
 
             # multiplier update at the accepted point
-            g_all = jax.vmap(lambda x, u, p: ocp.eq_constraints(x, u, p))(xs_n[:-1], us_n, sp)
-            h_all = jax.vmap(lambda x, u, p: ocp.ineq_constraints(x, u, p))(xs_n[:-1], us_n, sp)
             g_term = ocp.term_eq_constraints(xs_n[-1], problem.term_params)
             lam_eq_n = lam_eq + g_all / mu
             lam_in_n = jnp.maximum(0.0, lam_in + h_all / mu)
             lam_term_n = lam_term + g_term / mu
-            _, gaps = self._merit(problem, xs_n, us_n, lam_eq_n, lam_in_n, lam_term_n, mu)
-            prim = jnp.maximum(
-                jnp.max(jnp.abs(g_all)) if ocp.n_eq else 0.0,
-                jnp.maximum(jnp.max(jnp.maximum(h_all, 0.0)) if ocp.n_in else 0.0,
-                            jnp.max(jnp.abs(gaps))),
-            )
+            prim = jnp.max(jnp.abs(gaps))
+            if ocp.n_eq:
+                prim = jnp.maximum(prim, jnp.max(jnp.abs(g_all)))
+            if ocp.n_in:
+                prim = jnp.maximum(prim, jnp.max(jnp.maximum(h_all, 0.0)))
+            if ocp.n_term_eq:
+                prim = jnp.maximum(prim, jnp.max(jnp.abs(g_term)))
             stats = (prim, dual_res, merit, ks, Ks)
             return (xs_n, us_n, lam_eq_n, lam_in_n, lam_term_n), stats
 

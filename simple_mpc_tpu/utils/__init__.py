@@ -1,0 +1,4 @@
+from .friction import FrictionCompensation
+from .interpolator import Interpolator
+
+__all__ = ["FrictionCompensation", "Interpolator"]
