@@ -26,6 +26,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # keep the CPU backend available: eager ops over the tunneled TPU are one
+    # network round trip EACH, so all problem construction happens on CPU and
+    # only the final arrays ship to the chip
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from simple_mpc_tpu.configs import make_go2_kinodynamics
@@ -33,17 +41,22 @@ def main():
     from simple_mpc_tpu.solver.proxddp import ProxDDPSolver, SolverSettings
 
     dtype = jnp.dtype(args.dtype)
-    ocp, mh, x0 = make_go2_kinodynamics(args.horizon)
-    # cast problem params to the bench dtype
-    problem = jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        ocp.problem)
-    solver = ProxDDPSolver(ocp, SolverSettings(mu_init=1e-6, max_iters=1))
-
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
     B, T = args.batch, args.horizon
-    problems = tile_problem(problem, B)
-    xs = jnp.tile(jnp.asarray(x0, dtype)[None, None], (B, T + 1, 1))
-    us = jnp.tile(jnp.asarray(ocp.get_reference_control(0), dtype)[None, None], (B, T, 1))
+    with jax.default_device(cpu):
+        ocp, mh, x0 = make_go2_kinodynamics(T)
+        problem = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            ocp.problem)
+        problems = tile_problem(problem, B)
+        xs = jnp.tile(jnp.asarray(x0, dtype)[None, None], (B, T + 1, 1))
+        us = jnp.tile(jnp.asarray(ocp.get_reference_control(0), dtype)[None, None],
+                      (B, T, 1))
+    solver = ProxDDPSolver(ocp, SolverSettings(mu_init=1e-6, max_iters=1))
+    problems = jax.device_put(problems, tpu)
+    xs = jax.device_put(xs, tpu)
+    us = jax.device_put(us, tpu)
     bs = BatchedSolver(solver, mesh=None)
 
     res = bs.run(problems, xs, us)  # compile + first run

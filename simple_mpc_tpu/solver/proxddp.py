@@ -161,8 +161,13 @@ class ProxDDPSolver:
     # Backward pass
     # ------------------------------------------------------------------
     def _backward(self, lin, Vx_T, Vxx_T, reg):
-        """Serial Riccati via lax.scan over the (stacked) stage expansions.
-        Jacobi-preconditioned Cholesky on Quu keeps f32 stable."""
+        """Riccati backward pass: serial lax.scan oracle, or the
+        associative-scan parallel-in-time version (settings.parallel) —
+        the TPU analogue of Aligator's PARALLEL LQ choice (mpc.cpp:46-52)."""
+        if self.settings.parallel:
+            from .parallel_riccati import parallel_backward
+
+            return parallel_backward(lin, Vx_T, Vxx_T, reg)
 
         def step(carry, s):
             Vx, Vxx = carry
