@@ -72,6 +72,20 @@ def main():
     jax.block_until_ready(res.xs)
     dt = time.perf_counter() - t0
 
+    # single-solve (B=1-equivalent) p50 latency: one batched call, synchronous
+    lat = []
+    for _ in range(10):
+        t1 = time.perf_counter()
+        lams = (res.lam_eq, res.lam_in, res.lam_term)
+        res = bs.run(problems, res.xs, res.us, lams)
+        jax.block_until_ready(res.xs)
+        lat.append(time.perf_counter() - t1)
+    import numpy as _np
+
+    prim = float(jnp.max(res.prim_res))
+    print(f"# sanity: max prim_res={prim:.3e}  p50 batched-call latency="
+          f"{_np.median(lat)*1e3:.2f} ms (B={B})", file=sys.stderr)
+
     solves_per_s = B * args.iters / dt
     print(json.dumps({
         "metric": "go2_kinodynamics_T100_solves_per_s_per_chip",
