@@ -59,30 +59,36 @@ def main():
     us = jax.device_put(us, tpu)
     bs = BatchedSolver(solver, mesh=None)
 
+    import numpy as _np
+
+    def force(r):
+        # block_until_ready is not trustworthy over the tunneled backend;
+        # a host transfer is the only hard sync
+        return float(_np.asarray(r.prim_res).max())
+
     res = bs.run(problems, xs, us)  # compile + first run
-    jax.block_until_ready(res.xs)
+    force(res)
     lams = (res.lam_eq, res.lam_in, res.lam_term)
     res = bs.run(problems, res.xs, res.us, lams)  # warm-path compile
-    jax.block_until_ready(res.xs)
+    force(res)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         lams = (res.lam_eq, res.lam_in, res.lam_term)
         res = bs.run(problems, res.xs, res.us, lams)
-    jax.block_until_ready(res.xs)
+    _np.asarray(res.xs)  # hard sync
     dt = time.perf_counter() - t0
 
-    # single-solve (B=1-equivalent) p50 latency: one batched call, synchronous
+    # single-call p50 latency, synchronous (host transfer = hard sync)
     lat = []
     for _ in range(10):
         t1 = time.perf_counter()
         lams = (res.lam_eq, res.lam_in, res.lam_term)
         res = bs.run(problems, res.xs, res.us, lams)
-        jax.block_until_ready(res.xs)
+        _np.asarray(res.xs)
         lat.append(time.perf_counter() - t1)
-    import numpy as _np
 
-    prim = float(jnp.max(res.prim_res))
+    prim = float(_np.asarray(res.prim_res).max())
     print(f"# sanity: max prim_res={prim:.3e}  p50 batched-call latency="
           f"{_np.median(lat)*1e3:.2f} ms (B={B})", file=sys.stderr)
 

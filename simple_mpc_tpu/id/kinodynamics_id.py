@@ -129,7 +129,8 @@ class KinodynamicsID:
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0,))
-    def _solve_core(self, q, v, targets, warm):
+    def _assemble_core(self, q, v, targets):
+        """Jitted QP-data assembly: (H, g, A, l, u, M, h, JcT)."""
         q_t, v_t, a_t = targets["q_t"], targets["v_t"], targets["a_t"]
         contacts, f_t = targets["contacts"], targets["f_t"]
         s = self.settings
@@ -305,10 +306,15 @@ class KinodynamicsID:
         A = jnp.concatenate(A_rows, axis=0)
         l = jnp.concatenate(lo)
         u = jnp.concatenate(hi)
+        return H, g, A, l, u, M, h, JcT
 
-        sol = qp.solve_qp(H, g, A, l, u, iters=s.qp_iters,
+    @partial(jax.jit, static_argnums=(0,))
+    def _solve_core(self, q, v, targets, warm):
+        H, g, A, l, u, M, h, JcT = self._assemble_core(q, v, targets)
+        sol = qp.solve_qp(H, g, A, l, u, iters=self.settings.qp_iters,
                           z0=None if warm is None else warm[0],
                           y0=None if warm is None else warm[1])
+        nv, nk, fd = self.nv, self.nk, self.fdim
         ddq = sol.z[:nv]
         f = sol.z[nv:]
         tau = (M @ ddq + h - JcT @ f)[6:]
@@ -327,6 +333,27 @@ class KinodynamicsID:
             self._qp_warm)
         self._last = (tau, ddq, f)
         self._qp_warm = (jnp.concatenate([ddq, f.reshape(-1)]), sol.y)
+        return tau
+
+    def solve_host(self, t, q_meas, v_meas):
+        """Deployment-path solve: assemble on device (jitted), solve the QP
+        with the native C++ ADMM (native/qp_admm.cpp) — the robot-side 1 kHz
+        configuration (ProxQP role, kinodynamics-id.hpp:84)."""
+        from .. import native as native_mod
+
+        H, g, A, l, u, M, h, JcT = self._assemble_core(
+            jnp.asarray(q_meas), jnp.asarray(v_meas), dict(self._targets))
+        warm = self._qp_warm
+        z, y, prim, dual = native_mod.solve_qp_host(
+            np.asarray(H), np.asarray(g), np.asarray(A), np.asarray(l),
+            np.asarray(u), iters=self.settings.qp_iters,
+            z0=None if warm is None else np.asarray(warm[0]),
+            y0=None if warm is None else np.asarray(warm[1]))
+        nv = self.nv
+        ddq, f = z[:nv], z[nv:]
+        tau = (np.asarray(M) @ ddq + np.asarray(h) - np.asarray(JcT) @ f)[6:]
+        self._last = (tau, ddq, f.reshape(self.nk, self.fdim))
+        self._qp_warm = (z, y)
         return tau
 
     def get_accelerations(self):

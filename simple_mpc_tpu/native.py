@@ -1,0 +1,85 @@
+"""ctypes loader for the native host runtime (native/qp_admm.cpp).
+
+Builds the shared library on first use (make in native/) and exposes
+`solve_qp_host`, the deployment-path counterpart of id/qp.solve_qp — same
+ADMM scheme, same semantics, plain C++ for the robot-side 1 kHz loop
+(ProxQP role in the reference, kinodynamics-id.hpp:84).  Falls back to None
+if no toolchain is available; callers must handle that.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsimple_mpc_native.so")
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.qp_solve.restype = ctypes.c_int
+    lib.qp_solve.argtypes = [ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp,
+                             ctypes.c_int, ctypes.c_double, ctypes.c_double,
+                             ctypes.c_double, dp, dp, dp]
+    lib.qp_residuals.restype = None
+    lib.qp_residuals.argtypes = [ctypes.c_int, ctypes.c_int, dp, dp, dp, dp,
+                                 dp, dp, dp, dp, dp]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def solve_qp_host(H, g, A, l, u, iters: int = 100, rho: float = 0.1,
+                  sigma: float = 1e-6, alpha: float = 1.6,
+                  z0=None, y0=None) -> Tuple[np.ndarray, np.ndarray, float, float]:
+    """Native ADMM solve; returns (z, y, prim_res, dual_res)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no C++ toolchain?)")
+    H = np.ascontiguousarray(H, dtype=np.float64)
+    g = np.ascontiguousarray(g, dtype=np.float64)
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    l = np.ascontiguousarray(l, dtype=np.float64)
+    u = np.ascontiguousarray(u, dtype=np.float64)
+    m, n = A.shape
+    z = (np.zeros(n) if z0 is None else np.array(z0, dtype=np.float64))
+    y = (np.zeros(m) if y0 is None else np.array(y0, dtype=np.float64))
+    work = np.empty(n * n + 3 * m + 2 * n, dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+
+    def p(a):
+        return a.ctypes.data_as(dp)
+
+    rc = lib.qp_solve(n, m, p(H), p(g), p(A), p(l), p(u), iters, rho, sigma,
+                      alpha, p(z), p(y), p(work))
+    if rc != 0:
+        raise RuntimeError("native QP factorization failed")
+    prim = ctypes.c_double()
+    dual = ctypes.c_double()
+    lib.qp_residuals(n, m, p(H), p(g), p(A), p(l), p(u), p(z), p(y),
+                     ctypes.byref(prim), ctypes.byref(dual))
+    return z, y, prim.value, dual.value

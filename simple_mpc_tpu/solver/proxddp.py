@@ -228,6 +228,12 @@ class ProxDDPSolver:
 
         (solver_->run(problem, xs_warm, us_warm), mpc.cpp:212)
         """
+        # TPU matmuls default to bf16 inputs; the Riccati/Gauss-Newton
+        # products need full f32 accumulate or the backward pass NaNs
+        with jax.default_matmul_precision("float32"):
+            return self._run_impl(problem, xs, us, lams, mu, max_iters)
+
+    def _run_impl(self, problem, xs, us, lams, mu, max_iters):
         st = self.settings
         ocp = self.ocp
         T = problem.horizon
