@@ -160,6 +160,83 @@ class KinodynamicsOCP(OCPHandler):
         q_next = st.integrate(self.model, q, dt * v_next)
         return jnp.concatenate([q_next, v_next])
 
+    def stage_eval(self, x, u, p: KinoStageParams):
+        """Fused bundle: one FK/placements pass, one centroidal-matrix build
+        and one velocity-FK pass shared by the dynamics, the momentum costs,
+        the foot-pose costs and the contact-velocity equalities (the split
+        methods each recompute them — this is the solver's hot path for the
+        flagship benchmark)."""
+        s = self.settings
+        m = self.model
+        q, v = x[: self.nq], x[self.nq:]
+        dtype = x.dtype
+        f = u[: self.nk * self.fs].reshape(self.nk, self.fs) * p.contact_active[:, None]
+        ddq_j = u[self.nk * self.fs:]
+        g = jnp.asarray(s.gravity, dtype=dtype)
+
+        # shared kinematics/centroidal quantities
+        oR, op = kin.fk(m, q)
+        fR, fp = kin.frame_placements(m, oR, op)
+        com = dyn.center_of_mass(m, q)
+        Ag = dyn.centroidal_momentum_matrix(m, q)
+        Adotv = dyn.centroidal_momentum_time_variation(m, q, v)
+        hg = Ag @ v
+        feet_v = kin.feet_velocities(m, q, v, self.feet_fids, "local")
+
+        # external centroidal wrench from the commanded forces
+        Wlin = self.mass * g
+        Wang = jnp.zeros(3, dtype)
+        for k, fid in enumerate(self.feet_fids):
+            Wlin = Wlin + f[k, :3]
+            Wang = Wang + jnp.cross(fp[fid] - com, f[k, :3])
+            if self.fs == 6:
+                Wang = Wang + f[k, 3:]
+        W = jnp.concatenate([Wlin, Wang])
+
+        # dynamics (KinodynamicsFwdDynamics + semi-implicit Euler)
+        rhs = W - Adotv - Ag[:, 6:] @ ddq_j
+        a_base = jnp.linalg.solve(Ag[:, :6], rhs)
+        a = jnp.concatenate([a_base, ddq_j])
+        dt = s.timestep
+        v_next = v + dt * a
+        from ..ops import state as st
+
+        xnext = jnp.concatenate([st.integrate(m, q, dt * v_next), v_next])
+
+        # costs
+        r_state = self.space.difference(p.x_ref, x)
+        r_u = u - p.u_ref
+        foot_rs = []
+        for k, fid in enumerate(self.feet_fids):
+            if self.fs == 6:
+                dR = p.foot_ref_R[k].T @ fR[fid]
+                dp = p.foot_ref_R[k].T @ (fp[fid] - p.foot_ref_p[k])
+                foot_rs.append(lie.log6((dR, dp)))
+            else:
+                foot_rs.append(fp[fid] - p.foot_ref_p[k])
+        r = jnp.concatenate([r_state, r_u, hg, W] + foot_rs)
+        w = jnp.concatenate(
+            [jnp.asarray(_dvec(s.w_x)), jnp.asarray(_dvec(s.w_u)),
+             jnp.asarray(_dvec(s.w_cent)), jnp.asarray(_dvec(s.w_centder))]
+            + [jnp.asarray(_dvec(s.w_frame))] * self.nk
+        ).astype(dtype)
+
+        # equality constraints: stance-foot zero velocity (+ land heights)
+        rows = []
+        for k, fid in enumerate(self.feet_fids):
+            vf = feet_v[k]
+            rr = vf[:3] if self.vel_dim == 3 else vf
+            rows.append(cones.mask_eq(rr, p.contact_active[k] > 0.5))
+        if s.land_cstr and self.fs == 3:
+            for k, fid in enumerate(self.feet_fids):
+                rr = (fp[fid][2] - p.foot_ref_p[k][2])[None]
+                rows.append(cones.mask_eq(
+                    rr, (p.land[k] > 0.5) & (p.contact_active[k] > 0.5)))
+        geq = jnp.concatenate(rows) if rows else jnp.zeros(0, dtype)
+
+        h = self.ineq_constraints(x, u, p)  # cheap: boxes + force cones on u
+        return r, w, geq, h, xnext
+
     # -- costs (kinodynamics.cpp:56-83) --------------------------------------
     def cost_residuals(self, x, u, p: KinoStageParams):
         s = self.settings

@@ -205,6 +205,26 @@ def feet_jacobians(model: RobotModel, q, frame_ids, reference_frame: str = "loca
     return jnp.stack(Js)
 
 
+def feet_velocities(model: RobotModel, q, v, frame_ids, reference_frame: str = "local"):
+    """Stacked (len(frame_ids), 6) frame spatial velocities sharing ONE
+    velocity-FK pass (the per-frame `frame_velocity` recomputes it)."""
+    oR, op, vloc = fk_velocities(model, q, v)
+    out = []
+    for fid in frame_ids:
+        f = model.frames[fid]
+        j = f.parent_joint
+        vf_local = lie.motion_action_inv(
+            (jnp.asarray(f.R, q.dtype), jnp.asarray(f.p, q.dtype)), vloc[j])
+        if reference_frame == "local":
+            out.append(vf_local)
+        elif reference_frame == "local_world_aligned":
+            Rf = oR[j] @ jnp.asarray(f.R, dtype=q.dtype)
+            out.append(jnp.concatenate([Rf @ vf_local[:3], Rf @ vf_local[3:]]))
+        else:
+            raise ValueError(reference_frame)
+    return jnp.stack(out)
+
+
 def frame_velocity(model: RobotModel, q, v, frame_id: int, reference_frame: str = "local_world_aligned"):
     """(6,) spatial velocity of a frame."""
     oR, op, vloc = fk_velocities(model, q, v)
