@@ -155,3 +155,19 @@ class OCPHandler:
 
     def set_init_state(self, x0):
         self.problem = dataclasses.replace(self.problem, x0=jnp.asarray(x0))
+
+    # -- pure hooks for the fused (on-device) MPC tick ------------------------
+    def x0_from_measurement(self, x):
+        """Problem initial state from a measured full robot state (q, v) —
+        jit-pure counterpart of get_problem_state(data_handler).  Identity
+        for multibody-state formulations; centroidal overrides."""
+        return x
+
+    def write_references(self, stage_params, term_params, foot_refs,
+                         x_reference, velocity_base, com_ref):
+        """Pure counterpart of the per-tick reference writes in
+        MPC::updateStepTrackerReferences (mpc.cpp:304-323): batched foot
+        pose-cost targets for every stage, terminal state/base-velocity ref
+        on stage T-1, and the terminal-constraint CoM target.  Must match
+        the host setters exactly (tests pin this)."""
+        raise NotImplementedError

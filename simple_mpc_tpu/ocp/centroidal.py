@@ -248,3 +248,33 @@ class CentroidalOCP(OCPHandler):
 
     def get_problem_state(self, data_handler):
         return data_handler.get_centroidal_state()
+
+    def x0_from_measurement(self, x):
+        """[com; h_lin; h_ang] from a measured full robot state (the
+        jit-pure counterpart of get_centroidal_state)."""
+        from ..ops import dynamics as dyn
+
+        m = self.model_handler.model
+        q, v = x[: m.nq], x[m.nq:]
+        com = dyn.center_of_mass(m, q)
+        hg = dyn.centroidal_momentum(m, q, v)
+        return jnp.concatenate([com, hg])
+
+    def write_references(self, stage_params, term_params, foot_refs,
+                         x_reference, velocity_base, com_ref):
+        """Pure per-tick reference update.  Net effect of the host sequence
+        set_all_foot_translations + set_reference_state(T-1, x_reference) +
+        set_velocity_base(T-1, velocity_base) + update_terminal_constraint:
+        the velocity_base write overwrites the momentum refs from
+        x_reference[3:]."""
+        T = stage_params.com_ref.shape[0]
+        xr = jnp.asarray(x_reference, stage_params.com_ref.dtype)
+        vb = jnp.asarray(velocity_base, stage_params.com_ref.dtype)
+        sp = stage_params._replace(
+            contact_pose=jnp.asarray(foot_refs, stage_params.contact_pose.dtype),
+            com_ref=stage_params.com_ref.at[T - 1].set(xr[:3]),
+            linmom_ref=stage_params.linmom_ref.at[T - 1].set(vb[:3] * self.mass),
+            angmom_ref=stage_params.angmom_ref.at[T - 1].set(vb[3:] * self.mass))
+        tp = term_params._replace(
+            com_ref=jnp.asarray(com_ref, term_params.com_ref.dtype))
+        return sp, tp

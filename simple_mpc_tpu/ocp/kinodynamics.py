@@ -413,3 +413,19 @@ class KinodynamicsOCP(OCPHandler):
 
     def get_problem_state(self, data_handler):
         return jnp.concatenate([data_handler.data.q, data_handler.data.v])
+
+    def write_references(self, stage_params, term_params, foot_refs,
+                         x_reference, velocity_base, com_ref):
+        """Pure per-tick reference update (see OCPHandler.write_references):
+        set_all_foot_translations + set_reference_state(T-1) +
+        set_velocity_base(T-1) + update_terminal_constraint, fused."""
+        T = stage_params.x_ref.shape[0]
+        xr = jnp.asarray(x_reference, stage_params.x_ref.dtype)
+        xr = xr.at[self.nq: self.nq + 6].set(
+            jnp.asarray(velocity_base, xr.dtype))
+        sp = stage_params._replace(
+            foot_ref_p=jnp.asarray(foot_refs, stage_params.foot_ref_p.dtype),
+            x_ref=stage_params.x_ref.at[T - 1].set(xr))
+        tp = term_params._replace(
+            dcm_ref=jnp.asarray(com_ref, term_params.dcm_ref.dtype))
+        return sp, tp

@@ -21,6 +21,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# NOTE: do NOT enable jax_compilation_cache_dir here — writing CPU
+# executables to the persistent cache segfaults this jaxlib (0.9.0) on some
+# solver programs (crash inside put_executable_and_time / serialize).
+
 import sys  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
