@@ -19,8 +19,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Threshold below which Taylor expansions are used (safe for f32 and f64).
-_EPS = 1e-8
+def _small2(dtype):
+    """theta^2 threshold below which Taylor expansions are used: theta <
+    eps(dtype)^(1/4).  Dtype-aware is essential: with an f64-calibrated
+    constant, f32 JVPs of the generic branches divide by theta^6 ~ 1e-38
+    (underflow -> inf*0 = NaN) for tiny-but-nonzero rotations."""
+    import numpy as _np
+
+    return float(_np.sqrt(_np.finfo(_np.dtype(dtype)).eps))
 
 
 def _safe_sqrt(x):
@@ -122,11 +128,12 @@ def rotmat_to_quat(R):
 def exp3(w):
     """so(3) vector -> rotation matrix (Rodrigues, Taylor-guarded)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = _safe_sqrt(theta2)
-    small = theta < _EPS
-    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
+    small = theta2 < _small2(w.dtype)
+    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks; theta itself is
+    # computed from the guarded theta2 so its JVP never sees sqrt(0)
     theta2_safe = jnp.where(small, 1.0, theta2)
-    s = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    theta = jnp.sqrt(theta2_safe)
+    s = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     c = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     W = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -148,7 +155,8 @@ def log3(R):
         [R[..., 2, 1] - R[..., 1, 2], R[..., 0, 2] - R[..., 2, 0], R[..., 1, 0] - R[..., 0, 1]],
         axis=-1,
     )
-    small = cos_t > 1.0 - 1e-5
+    # small-angle branch for theta < eps^(1/4): cos > 1 - theta^2/2
+    small = cos_t > 1.0 - 0.5 * _small2(cos_t.dtype)
     near_pi = cos_t < -1.0 + 2e-5
     generic = jnp.logical_not(small | near_pi)
     # --- generic branch: w = theta / (2 sin theta) * a  (arccos input guarded)
@@ -179,22 +187,20 @@ def _so3_jacobians(w):
     Vinv(w) = I - W/2 + (1/t^2 - (1+cos t)/(2 t sin t)) W^2
     """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = _safe_sqrt(theta2)
-    small = theta < _EPS
+    small = theta2 < _small2(w.dtype)
     t2s = jnp.where(small, 1.0, theta2)
-    ts = jnp.where(small, 1.0, theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (t2s * ts))
+    ts = jnp.sqrt(t2s)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(ts)) / t2s)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (ts - jnp.sin(ts)) / (t2s * ts))
     W = skew(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
-    sin_t = jnp.sin(theta)
-    denom = 2.0 * ts * jnp.where(small, 1.0, sin_t)
+    denom = 2.0 * ts * jnp.where(small, 1.0, jnp.sin(ts))
     e = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        1.0 / t2s - (1.0 + jnp.cos(theta)) / jnp.where(small, 1.0, denom),
+        1.0 / t2s - (1.0 + jnp.cos(ts)) / denom,
     )
     Vinv = eye - 0.5 * W + e[..., None, None] * W2
     return V, Vinv

@@ -133,3 +133,24 @@ def test_motion_cross_jacobi():
     m = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])  # pure x translation vel
     out = lie.motion_cross(vx, m)
     np.testing.assert_allclose(np.asarray(out), [0.0, 1.0, 0.0, 0.0, 0.0, 0.0], atol=1e-12)
+
+
+def test_f32_tiny_angle_jacobians_nan_free():
+    """Regression: f64-calibrated Taylor thresholds made f32 JVPs of
+    exp3/_so3_jacobians divide by theta^6 ~ 1e-38 (underflow -> NaN) for
+    tiny-but-nonzero rotations; this NaN'd the solver's dynamics Jacobians
+    on TPU (stages with ~1e-7 rad base increments)."""
+    for mag in (0.0, 1e-8, 3e-7, 1e-5, 1e-3, 0.017):
+        w = jnp.asarray([0.6, 0.48, -0.64], jnp.float32) * jnp.float32(mag)
+        J1 = jax.jacfwd(lie.exp3)(w)
+        J2 = jax.jacfwd(lambda z: lie._so3_jacobians(z)[0])(w)
+        J3 = jax.jacfwd(lambda z: lie._so3_jacobians(z)[1])(w)
+        v6 = jnp.concatenate([jnp.asarray([1e-7, -2e-7, 3e-8], jnp.float32), w])
+        J4 = jax.jacfwd(lambda z: jnp.concatenate(lie.exp6(z), axis=None))(v6)
+        for J in (J1, J2, J3, J4):
+            assert not bool(jnp.isnan(J).any()), f"NaN at mag {mag}"
+    # and the full freeflyer integrate path used by the stage dynamics
+    pq = jnp.asarray([0.1, 0.2, 0.3, 8.3e-5, 3.3e-5, 5.9e-6, 1.0], jnp.float32)
+    dv = jnp.asarray([1e-4, -2e-4, 5e-5, 2e-7, 3.6e-7, -2e-7], jnp.float32)
+    Ji = jax.jacfwd(lambda z: lie.freeflyer_integrate(pq, z))(dv)
+    assert not bool(jnp.isnan(Ji).any())
