@@ -254,6 +254,90 @@ def centroidal_momentum_time_variation(model: RobotModel, q, v):
     return jax.jacfwd(h_of_t)(jnp.zeros((), dtype=q.dtype))
 
 
+def centroidal_quantities(model: RobotModel, q, v):
+    """Fused analytic centroidal bundle from ONE tree sweep.
+
+    Returns (oR, op, vloc, com, hg, Ag, Adotv):
+      oR/op   world joint placements        (nj,3,3) / (nj,3)
+      vloc    local joint spatial velocities (nj,6)
+      com     world CoM                      (3,)
+      hg      centroidal momentum            (6,) == Ag @ v
+      Ag      centroidal momentum matrix     (6,nv)   [ccrba]
+      Adotv   dAg/dt @ v                     (6,)     [dccrba @ v]
+
+    This replaces the autodiff implementations (`centroidal_momentum_matrix`
+    = jacfwd over v, `centroidal_momentum_time_variation` = jvp along the
+    configuration flow) on the solver hot path: those nest an 18-wide JVP of
+    a full FK pass inside the stage linearization's 60-wide JVP.  Here Ag is
+    the world-frame composite-rigid-body algorithm (pinocchio::ccrba
+    capability) and Adotv is the velocity-product momentum bias (an RNEA
+    force pass with zero acceleration and zero gravity), so the whole bundle
+    is straight-line 6x6/6x1 arithmetic that batches onto the MXU.
+
+    Derivation of Adotv: h_O = sum_j X*_{O<-j} I_j v_j, so at ddq = 0 (no
+    gravity) dh_O/dt = sum_j X*_{O<-j} (v_j x* I_j v_j + I_j a_j^bias) with
+    a_j^bias the zero-ddq local acceleration; shifting to the (moving) CoM
+    frame adds -com x lin_dot, while the frame-motion term vcom x (m vcom)
+    vanishes.
+    """
+    nj, nv = model.njoints, model.nv
+    dtype = q.dtype
+    Rs, ps, Ss = _local_tree(model, q)
+    oR, op, vloc, aloc = [None] * nj, [None] * nj, [None] * nj, [None] * nj
+    for j in range(nj):
+        iv, nd = model.idx_v[j], Ss[j].shape[1]
+        vj = Ss[j] @ v[iv: iv + nd]
+        par = model.parents[j]
+        if par < 0:
+            oR[j], op[j] = Rs[j], ps[j]
+            vloc[j] = vj
+            aloc[j] = jnp.zeros(6, dtype=dtype)
+        else:
+            oR[j] = oR[par] @ Rs[j]
+            op[j] = op[par] + oR[par] @ ps[j]
+            X = (Rs[j], ps[j])
+            vloc[j] = lie.motion_action_inv(X, vloc[par]) + vj
+            # zero-ddq local acceleration (velocity-product bias only)
+            aloc[j] = (lie.motion_action_inv(X, aloc[par])
+                       + lie.motion_cross(vloc[j], vj))
+
+    com_num = jnp.zeros(3, dtype=dtype)
+    for j in range(nj):
+        com_num = com_num + float(model.mass[j]) * (
+            op[j] + oR[j] @ jnp.asarray(model.com[j], dtype=dtype))
+    com = com_num / model.total_mass()
+
+    # accumulate everything in a CoM-centered world-aligned frame: forming
+    # spatial inertias about the world origin cancels like m*|p_world|^2
+    # (f32-hostile, grows with base distance from origin); about the CoM the
+    # lever arms are bounded by robot size
+    hg = jnp.zeros(6, dtype=dtype)
+    hd = jnp.zeros(6, dtype=dtype)
+    Icg = [None] * nj  # CoM-frame composite inertias
+    Sg = [None] * nj  # CoM-frame motion subspaces (6, nd)
+    for j in range(nj):
+        I = spatial_inertia(model, j, dtype)
+        pg = op[j] - com
+        Xf = _force_matrix(oR[j], pg)  # j -> com-frame force transform
+        Xm = _motion_matrix(oR[j], pg)  # com-frame -> j motion transform
+        Icg[j] = Xf @ I @ Xm
+        Sg[j] = jax.vmap(lambda s: lie.motion_action((oR[j], pg), s),
+                         in_axes=1, out_axes=1)(Ss[j])
+        hj = I @ vloc[j]
+        hg = hg + Xf @ hj
+        hd = hd + Xf @ (lie.motion_cross_star(vloc[j], hj) + I @ aloc[j])
+
+    # CoM-frame CCRBA: composite subtree inertias, then Ag columns
+    Ag = jnp.zeros((6, nv), dtype=dtype)
+    for j in reversed(range(nj)):
+        par = model.parents[j]
+        if par >= 0:
+            Icg[par] = Icg[par] + Icg[j]
+        iv, nd = model.idx_v[j], Ss[j].shape[1]
+        Ag = Ag.at[:, iv: iv + nd].set(Icg[j] @ Sg[j])
+    return jnp.stack(oR), jnp.stack(op), jnp.stack(vloc), com, hg, Ag, hd
+
+
 def centroidal_state(model: RobotModel, q, v):
     """9-dim [com; h_lin; h_ang] (RobotDataHandler::getCentroidalState,
     robot-handler.cpp:142-149)."""
