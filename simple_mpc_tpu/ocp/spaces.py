@@ -13,6 +13,8 @@ from ..ops import state as state_ops
 
 
 class VectorSpace:
+    tangent_split = None  # no cheap q/v factorization to exploit
+
     def __init__(self, nx: int):
         self.nx = nx
         self.ndx = nx
@@ -34,9 +36,22 @@ class MultibodyPhaseSpace:
         self.model = model
         self.nx = model.nq + model.nv
         self.ndx = 2 * model.nv
+        # tangent factorizes as [dq; dv]: integrate applies dq on the Lie
+        # q-part and dv additively — lets the solver linearize per block
+        # with symbolic-zero tangents in the other block (see
+        # ProxDDPSolver._linearize_stage).
+        self.tangent_split = model.nv
 
     def integrate(self, x, dx):
         return state_ops.state_integrate(self.model, x, dx)
+
+    def integrate_parts(self, x, dq, dv):
+        """integrate(x, [dq; dv]) with dq/dv as separate arguments, so a
+        JVP in one block keeps the other block's tangent symbolically zero
+        (q-tangents never generate v-chain ops and vice versa)."""
+        nq = self.model.nq
+        return jnp.concatenate(
+            [state_ops.integrate(self.model, x[:nq], dq), x[nq:] + dv])
 
     def difference(self, x1, x2):
         return state_ops.state_difference(self.model, x1, x2)

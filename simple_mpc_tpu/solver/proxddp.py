@@ -118,19 +118,40 @@ class ProxDDPSolver:
         space = self.space
         ndx, nu = space.ndx, self.ocp.nu
 
-        def bundle(dxu):
-            xx = space.integrate(x, dxu[:ndx])
-            uu = u + dxu[ndx:]
+        def bundle(xx, uu):
             r_all, w_all, _, _, xnext = self._stage_bundle(
                 xx, uu, p, lam_eq, lam_in, mu)
             d = space.difference(xn, xnext)
             return r_all, d, w_all  # w_all's tangent is zero; carried for w0
 
-        z0 = jnp.zeros(ndx + nu, dtype=x.dtype)
-        (r0, d0, w0), lin = jax.linearize(bundle, z0)
-        Jr_T, Jd_T, _ = jax.vmap(lin)(jnp.eye(ndx + nu, dtype=x.dtype))
-        J = Jr_T.T  # (nr, ndx+nu)
-        AB = Jd_T.T  # (ndx, ndx+nu)
+        # Split linearization: one jax.linearize per input block so tangents
+        # only flow through ops that actually depend on that block.  The
+        # u-tangents (forces/torques/accels) never touch the FK/centroidal
+        # chain, and for q/v-factorizable spaces the v-tangents skip the
+        # position-FK chain too — each block's JVP keeps the other blocks'
+        # tangents symbolically zero, so XLA never emits the dead chains.
+        # This sweep is the hot path of the per-tick solve (mpc.cpp:212).
+        split = getattr(space, "tangent_split", None)
+        if split is None:
+            z0 = jnp.zeros(ndx, dtype=x.dtype)
+            (r0, d0, w0), lin_x = jax.linearize(
+                lambda dx: bundle(space.integrate(x, dx), u), z0)
+            Jr_xT, Jd_xT, _ = jax.vmap(lin_x)(jnp.eye(ndx, dtype=x.dtype))
+        else:
+            zq = jnp.zeros(split, dtype=x.dtype)
+            zv = jnp.zeros(ndx - split, dtype=x.dtype)
+            (r0, d0, w0), lin_q = jax.linearize(
+                lambda dq: bundle(space.integrate_parts(x, dq, zv), u), zq)
+            _, lin_v = jax.linearize(
+                lambda dv: bundle(space.integrate_parts(x, zq, dv), u)[:2], zv)
+            Jr_qT, Jd_qT, _ = jax.vmap(lin_q)(jnp.eye(split, dtype=x.dtype))
+            Jr_vT, Jd_vT = jax.vmap(lin_v)(jnp.eye(ndx - split, dtype=x.dtype))
+            Jr_xT = jnp.concatenate([Jr_qT, Jr_vT], axis=0)
+            Jd_xT = jnp.concatenate([Jd_qT, Jd_vT], axis=0)
+        _, lin_u = jax.linearize(lambda du: bundle(x, u + du)[:2], jnp.zeros(nu, x.dtype))
+        Jr_uT, Jd_uT = jax.vmap(lin_u)(jnp.eye(nu, dtype=x.dtype))
+        J = jnp.concatenate([Jr_xT.T, Jr_uT.T], axis=1)  # (nr, ndx+nu)
+        AB = jnp.concatenate([Jd_xT.T, Jd_uT.T], axis=1)  # (ndx, ndx+nu)
         grad = J.T @ (w0 * r0)
         H = J.T @ (w0[:, None] * J)
         A, B = AB[:, :ndx], AB[:, ndx:]
