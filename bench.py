@@ -11,10 +11,30 @@ solves/s/chip; vs_baseline = value / 1250.
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tpu_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe the (tunneled) TPU backend in a subprocess with a hard timeout.
+
+    jax.devices() over a dead tunnel blocks forever with no deadline of its
+    own; a hung probe must not take the benchmark down with it — the driver
+    needs the JSON line either way.
+    """
+    if os.environ.get("BENCH_FORCE_CPU"):
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
 
 
 def main():
@@ -25,13 +45,23 @@ def main():
     ap.add_argument("--dtype", default="float32")
     args = ap.parse_args()
 
+    on_tpu = _tpu_reachable()
+    if not on_tpu:
+        print("# WARNING: TPU backend unreachable — benching on CPU fallback",
+              file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        if "--batch" not in sys.argv[1:] and "BENCH_BATCH" not in os.environ:
+            args.batch = 8
+        if "--iters" not in sys.argv[1:]:
+            args.iters = 3
+
     import jax
 
     # keep the CPU backend available: eager ops over the tunneled TPU are one
     # network round trip EACH, so all problem construction happens on CPU and
     # only the final arrays ship to the chip
     try:
-        jax.config.update("jax_platforms", "axon,cpu")
+        jax.config.update("jax_platforms", "axon,cpu" if on_tpu else "cpu")
     except Exception:
         pass
     import jax.numpy as jnp

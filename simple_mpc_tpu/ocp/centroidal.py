@@ -184,9 +184,21 @@ class CentroidalOCP(OCPHandler):
         k = self.model_handler.foot_nb(ee_name)
         return jnp.eye(3), self.problem.stage_params.contact_pose[t, k]
 
+    def compute_control_from_forces(self, force_refs: dict):
+        """Assemble the stacked control reference from per-foot force refs
+        (CentroidalOCP::computeControlFromForces, centroidal-dynamics.cpp:108-119;
+        functional: returns the vector instead of mutating internal state)."""
+        us = []
+        for n in self.model_handler.feet_names:
+            f = jnp.asarray(force_refs[n])
+            if f.shape[0] != self.fs:
+                raise RuntimeError(
+                    "force size in settings does not match reference force size")
+            us.append(f)
+        return jnp.concatenate(us)
+
     def set_reference_forces(self, t: int, force_refs: dict):
-        u = jnp.concatenate([jnp.asarray(force_refs[n]) for n in self.model_handler.feet_names])
-        self.set_reference_control(t, u)
+        self.set_reference_control(t, self.compute_control_from_forces(force_refs))
 
     def set_reference_force(self, t: int, ee_name: str, force_ref):
         k = self.model_handler.foot_nb(ee_name)

@@ -360,11 +360,23 @@ class KinodynamicsOCP(OCPHandler):
         sp = self.problem.stage_params
         return sp.foot_ref_R[t, k], sp.foot_ref_p[t, k]
 
-    def set_reference_forces(self, t: int, force_refs: dict):
-        u = self.problem.stage_params.u_ref[t]
+    def compute_control_from_forces(self, force_refs: dict, u_ref=None):
+        """Write per-foot force refs into the force block of a control
+        reference, keeping the ddq tail (KinodynamicsOCP::
+        computeControlFromForces, kinodynamics.cpp:229-243; functional)."""
+        u = (jnp.zeros(self.nu) if u_ref is None else jnp.asarray(u_ref))
         for name, f in force_refs.items():
+            f = jnp.asarray(f)
+            if f.shape[0] != self.fs:
+                raise RuntimeError(
+                    "force size in settings does not match reference force size")
             k = self.model_handler.foot_nb(name)
-            u = u.at[k * self.fs: (k + 1) * self.fs].set(jnp.asarray(f))
+            u = u.at[k * self.fs: (k + 1) * self.fs].set(f)
+        return u
+
+    def set_reference_forces(self, t: int, force_refs: dict):
+        u = self.compute_control_from_forces(
+            force_refs, self.problem.stage_params.u_ref[t])
         self.set_reference_control(t, u)
 
     def set_reference_force(self, t: int, ee_name: str, force_ref):

@@ -45,6 +45,16 @@ class SolverSettings:
     reg_init: float = 1e-9
     alphas: tuple = (0.0, 1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
     parallel: bool = False  # associative-scan Riccati backward
+    # BCL outer-loop schedule (the AL safeguard Aligator's ProxDDP uses):
+    # multipliers update only when the primal residual beats eta = mu^alpha,
+    # else mu stiffens by bcl_mu_factor.  Unguarded updates oscillate on
+    # cold starts far from feasibility (the 1-iteration warm-started MPC
+    # tick always lands in the "update" branch, so its behavior is
+    # unchanged).
+    bcl: bool = True
+    bcl_alpha: float = 0.1
+    bcl_mu_factor: float = 0.1
+    bcl_eta_shrink: float = 0.33  # feasibility tolerance contraction on success
 
 
 class Results(NamedTuple):
@@ -58,6 +68,8 @@ class Results(NamedTuple):
     prim_res: jnp.ndarray  # scalar
     dual_res: jnp.ndarray  # scalar
     merit: jnp.ndarray  # scalar
+    mu: jnp.ndarray  # scalar: BCL-evolved AL penalty (thread into the next
+    #                  run() call to continue an outer loop across warm starts)
 
 
 def _eps(dtype) -> float:
@@ -268,15 +280,16 @@ class ProxDDPSolver:
             lam_eq, lam_in, lam_term = lams
         # dtype-aware floors: f64 keeps the reference's 1e-8; f32 floors at
         # sqrt(eps) ~ 3e-4 (1/mu enters squared in the AL Hessian)
+        mu_floor = jnp.asarray(np.sqrt(eps), dtype)
         mu = jnp.asarray(st.mu_init if mu is None else mu, dtype)
-        mu = jnp.maximum(mu, jnp.asarray(np.sqrt(eps), dtype))
+        mu = jnp.maximum(mu, mu_floor)
         reg = jnp.maximum(jnp.asarray(st.reg_init, dtype),
                           jnp.asarray(50.0 * eps, dtype))
         n_iters = st.max_iters if max_iters is None else max_iters
         alphas = jnp.asarray(st.alphas, dtype)
 
         def iteration(carry, _):
-            xs, us, lam_eq, lam_in, lam_term = carry
+            xs, us, lam_eq, lam_in, lam_term, mu, eta = carry
             sp = problem.stage_params
             lin = jax.vmap(
                 lambda x, u, xn, p, le, li: self._linearize_stage(x, u, xn, p, le, li, mu)
@@ -302,11 +315,7 @@ class ProxDDPSolver:
             g_all, h_all, gaps = g_cand[best], h_cand[best], gap_cand[best]
             merit = merits[best]
 
-            # multiplier update at the accepted point
             g_term = ocp.term_eq_constraints(xs_n[-1], problem.term_params)
-            lam_eq_n = lam_eq + g_all / mu
-            lam_in_n = jnp.maximum(0.0, lam_in + h_all / mu)
-            lam_term_n = lam_term + g_term / mu
             prim = jnp.max(jnp.abs(gaps))
             if ocp.n_eq:
                 prim = jnp.maximum(prim, jnp.max(jnp.abs(g_all)))
@@ -314,13 +323,46 @@ class ProxDDPSolver:
                 prim = jnp.maximum(prim, jnp.max(jnp.maximum(h_all, 0.0)))
             if ocp.n_term_eq:
                 prim = jnp.maximum(prim, jnp.max(jnp.abs(g_term)))
-            stats = (prim, dual_res, merit, ks, Ks)
-            return (xs_n, us_n, lam_eq_n, lam_in_n, lam_term_n), stats
 
-        carry = (xs, us, lam_eq, lam_in, lam_term)
+            # multiplier update at the accepted point, BCL-guarded (LANCELOT
+            # schedule): promote the multipliers only when the inner step
+            # reached eta feasibility, then tighten eta; otherwise keep the
+            # multipliers and stiffen mu.  Unguarded updates oscillate on
+            # cold starts; a non-contracting eta re-enters the oscillating
+            # regime as soon as prim dips below it.
+            if st.bcl:
+                ok = prim <= eta
+                mu_n = jnp.where(
+                    ok, mu,
+                    jnp.maximum(mu * jnp.asarray(st.bcl_mu_factor, dtype),
+                                mu_floor))
+                eta_n = jnp.where(
+                    ok,
+                    jnp.maximum(jnp.asarray(st.tol, dtype),
+                                eta * jnp.asarray(st.bcl_eta_shrink, dtype)),
+                    eta)
+            else:
+                ok = jnp.asarray(True)
+                mu_n = mu
+                eta_n = eta
+            lam_eq_n = jnp.where(ok, lam_eq + g_all / mu, lam_eq)
+            # Inequality multipliers update every iteration: they are the
+            # active-set estimator (a cone row enters the quadratic model
+            # only via act = h + mu*lam > 0), and freezing them stalls any
+            # problem whose solution activates a cone that is inactive at
+            # the warm start.  The projection keeps them in the dual cone.
+            lam_in_n = jnp.maximum(0.0, lam_in + h_all / mu)
+            lam_term_n = jnp.where(ok, lam_term + g_term / mu, lam_term)
+            stats = (prim, dual_res, merit, ks, Ks)
+            return (xs_n, us_n, lam_eq_n, lam_in_n, lam_term_n, mu_n, eta_n), stats
+
+        eta0 = jnp.maximum(jnp.asarray(st.tol, dtype),
+                           mu ** jnp.asarray(st.bcl_alpha, dtype))
+        carry = (xs, us, lam_eq, lam_in, lam_term, mu, eta0)
         carry, stats = jax.lax.scan(iteration, carry, None, length=n_iters)
-        xs, us, lam_eq, lam_in, lam_term = carry
+        xs, us, lam_eq, lam_in, lam_term, mu, _ = carry
         prim, dual, merit, ks_all, Ks_all = stats
         return Results(xs=xs, us=us, ks=ks_all[-1], Ks=Ks_all[-1],
                        lam_eq=lam_eq, lam_in=lam_in, lam_term=lam_term,
-                       prim_res=prim[-1], dual_res=dual[-1], merit=merit[-1])
+                       prim_res=prim[-1], dual_res=dual[-1], merit=merit[-1],
+                       mu=mu)
