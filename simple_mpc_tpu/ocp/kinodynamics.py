@@ -161,11 +161,87 @@ class KinodynamicsOCP(OCPHandler):
         return jnp.concatenate([q_next, v_next])
 
     def stage_eval(self, x, u, p: KinoStageParams):
-        """Fused bundle: one FK/placements pass, one centroidal-matrix build
-        and one velocity-FK pass shared by the dynamics, the momentum costs,
-        the foot-pose costs and the contact-velocity equalities (the split
-        methods each recompute them — this is the solver's hot path for the
-        flagship benchmark)."""
+        """Fused bundle on the structure-flattened world-frame kernels
+        (ops/world.py): one batched FK + flat centroidal algebra shared by
+        the dynamics, the costs and the contact-velocity equalities.  This
+        is the solver's hot path for the flagship benchmark — every
+        intermediate is at most (nj, 6) per sample so the solver's
+        forward-mode linearization stays HBM-cheap on TPU (see ops/world.py
+        module docstring; reference semantics: kinodynamics.cpp:40-152)."""
+        s = self.settings
+        m = self.model
+        q, v = x[: self.nq], x[self.nq:]
+        dtype = x.dtype
+        f = u[: self.nk * self.fs].reshape(self.nk, self.fs) * p.contact_active[:, None]
+        ddq_j = u[self.nk * self.fs:]
+        g = jnp.asarray(s.gravity, dtype=dtype)
+
+        from ..ops import world as W
+
+        tab = W.tables(m)
+        feet_ids = np.asarray(self.feet_fids)
+        feet_par = tab.fparent[feet_ids]
+
+        oR, op = W.fk_world(m, q)
+        Sw = W.world_axes(m, q, oR, op)
+        com = W.com_world(m, oR, op)
+        vW = W.body_velocities(m, Sw, v)
+        fRw, fpw = W.frame_placements_world(m, oR, op, feet_ids)
+        hg = W.Agx(m, oR, op, Sw, v, com)
+        bias = W.bias_hdot(m, oR, op, Sw, vW, v, com)
+
+        # external centroidal wrench from the commanded forces
+        Wlin = self.mass * g + jnp.sum(f[:, :3], axis=0)
+        Wang = jnp.sum(jnp.cross(fpw - com, f[:, :3]), axis=0)
+        if self.fs == 6:
+            Wang = Wang + jnp.sum(f[:, 3:], axis=0)
+        Wr = jnp.concatenate([Wlin, Wang])
+
+        # dynamics (KinodynamicsFwdDynamics + semi-implicit Euler)
+        acc_j = jnp.concatenate([jnp.zeros(6, dtype), ddq_j])
+        rhs = Wr - bias - W.Agx(m, oR, op, Sw, acc_j, com)
+        A6 = W.ag6(m, oR, op, Sw, com)
+        a_base = jnp.linalg.solve(A6, rhs)
+        a = jnp.concatenate([a_base, ddq_j])
+        dt = s.timestep
+        v_next = v + dt * a
+        from ..ops import state as st
+
+        xnext = jnp.concatenate([st.integrate(m, q, dt * v_next), v_next])
+
+        # costs
+        r_state = self.space.difference(p.x_ref, x)
+        r_u = u - p.u_ref
+        if self.fs == 6:
+            dR = jnp.swapaxes(p.foot_ref_R, -1, -2) @ fRw
+            dp = (jnp.swapaxes(p.foot_ref_R, -1, -2)
+                  @ (fpw - p.foot_ref_p)[..., None])[..., 0]
+            foot_r = lie.log6((dR, dp)).reshape(-1)
+        else:
+            foot_r = (fpw - p.foot_ref_p).reshape(-1)
+        r = jnp.concatenate([r_state, r_u, hg, Wr, foot_r])
+        w = jnp.concatenate(
+            [jnp.asarray(_dvec(s.w_x)), jnp.asarray(_dvec(s.w_u)),
+             jnp.asarray(_dvec(s.w_cent)), jnp.asarray(_dvec(s.w_centder))]
+            + [jnp.asarray(_dvec(s.w_frame))] * self.nk
+        ).astype(dtype)
+
+        # equality constraints: stance-foot zero velocity (+ land heights)
+        _, v_loc = W.frame_velocities_world(m, vW, fRw, fpw,
+                                            jnp.asarray(feet_par))
+        vf = v_loc[:, :3] if self.vel_dim == 3 else v_loc
+        geq = (vf * (p.contact_active > 0.5)[:, None]).reshape(-1)
+        if s.land_cstr and self.fs == 3:
+            land_r = fpw[:, 2] - p.foot_ref_p[:, 2]
+            land_on = (p.land > 0.5) & (p.contact_active > 0.5)
+            geq = jnp.concatenate([geq, jnp.where(land_on, land_r, 0.0)])
+
+        h = self.ineq_constraints(x, u, p)  # cheap: boxes + force cones on u
+        return r, w, geq, h, xnext
+
+    def stage_eval_reference(self, x, u, p: KinoStageParams):
+        """Per-joint oracle implementation of stage_eval (ops/kinematics,
+        ops/dynamics), kept for exactness tests of the flattened hot path."""
         s = self.settings
         m = self.model
         q, v = x[: self.nq], x[self.nq:]

@@ -55,6 +55,15 @@ class SolverSettings:
     bcl_alpha: float = 0.1
     bcl_mu_factor: float = 0.1
     bcl_eta_shrink: float = 0.33  # feasibility tolerance contraction on success
+    # Stationarity gate for the multiplier update (LANCELOT): a first-order
+    # update lam += g/mu is only a valid multiplier estimate at an
+    # (approximate) minimizer of the AL; updating from an arbitrary inner
+    # iterate overshoots by O(g/mu) and destabilizes the outer loop.  The
+    # gate compares the backward pass's |Qu|_inf against omega, which starts
+    # at dual_0 * bcl_omega_init relative to the first iteration's dual
+    # residual (scale-free) and contracts on every accepted update.
+    bcl_omega_init: float = 0.1
+    bcl_omega_shrink: float = 0.5
 
 
 class Results(NamedTuple):
@@ -289,7 +298,7 @@ class ProxDDPSolver:
         alphas = jnp.asarray(st.alphas, dtype)
 
         def iteration(carry, _):
-            xs, us, lam_eq, lam_in, lam_term, mu, eta = carry
+            xs, us, lam_eq, lam_in, lam_term, mu, eta, omega = carry
             sp = problem.stage_params
             lin = jax.vmap(
                 lambda x, u, xn, p, le, li: self._linearize_stage(x, u, xn, p, le, li, mu)
@@ -324,43 +333,62 @@ class ProxDDPSolver:
             if ocp.n_term_eq:
                 prim = jnp.maximum(prim, jnp.max(jnp.abs(g_term)))
 
-            # multiplier update at the accepted point, BCL-guarded (LANCELOT
-            # schedule): promote the multipliers only when the inner step
-            # reached eta feasibility, then tighten eta; otherwise keep the
-            # multipliers and stiffen mu.  Unguarded updates oscillate on
-            # cold starts; a non-contracting eta re-enters the oscillating
-            # regime as soon as prim dips below it.
+            # BCL outer loop (LANCELOT schedule, the AL safeguard Aligator's
+            # ProxDDP uses).  The inner loop is "converged" when the
+            # stationarity residual |Qu|_inf beats omega; only then is the
+            # first-order update lam += g/mu a meaningful multiplier
+            # estimate.  inner-converged + feasible -> promote multipliers,
+            # tighten eta/omega; inner-converged + infeasible -> stiffen mu,
+            # reset the tolerances from the new mu; inner not converged ->
+            # keep iterating with everything frozen.  Ungated updates (or a
+            # feasibility-only gate) inject O(g/mu) multiplier overshoots
+            # that make the merit rise and pin the line search at alpha=0.
             if st.bcl:
-                ok = prim <= eta
+                # scale-free omega init: relative to the first dual residual
+                omega = jnp.where(omega < 0, jnp.maximum(
+                    dual_res * jnp.asarray(st.bcl_omega_init, dtype),
+                    jnp.asarray(st.tol, dtype)), omega)
+                dual_ok = dual_res <= omega
+                ok = dual_ok & (prim <= eta)
+                fail = dual_ok & (prim > eta)
                 mu_n = jnp.where(
-                    ok, mu,
+                    fail,
                     jnp.maximum(mu * jnp.asarray(st.bcl_mu_factor, dtype),
-                                mu_floor))
+                                mu_floor),
+                    mu)
                 eta_n = jnp.where(
                     ok,
                     jnp.maximum(jnp.asarray(st.tol, dtype),
                                 eta * jnp.asarray(st.bcl_eta_shrink, dtype)),
-                    eta)
+                    jnp.where(fail,
+                              jnp.maximum(jnp.asarray(st.tol, dtype),
+                                          mu_n ** jnp.asarray(st.bcl_alpha, dtype)),
+                              eta))
+                omega_n = jnp.where(
+                    ok,
+                    jnp.maximum(jnp.asarray(st.tol, dtype),
+                                omega * jnp.asarray(st.bcl_omega_shrink, dtype)),
+                    jnp.where(fail, omega / jnp.asarray(st.bcl_mu_factor, dtype),
+                              omega))
             else:
                 ok = jnp.asarray(True)
                 mu_n = mu
                 eta_n = eta
+                omega_n = omega
             lam_eq_n = jnp.where(ok, lam_eq + g_all / mu, lam_eq)
-            # Inequality multipliers update every iteration: they are the
-            # active-set estimator (a cone row enters the quadratic model
-            # only via act = h + mu*lam > 0), and freezing them stalls any
-            # problem whose solution activates a cone that is inactive at
-            # the warm start.  The projection keeps them in the dual cone.
-            lam_in_n = jnp.maximum(0.0, lam_in + h_all / mu)
+            # projection keeps the inequality multipliers in the dual cone
+            lam_in_n = jnp.where(ok, jnp.maximum(0.0, lam_in + h_all / mu), lam_in)
             lam_term_n = jnp.where(ok, lam_term + g_term / mu, lam_term)
             stats = (prim, dual_res, merit, ks, Ks)
-            return (xs_n, us_n, lam_eq_n, lam_in_n, lam_term_n, mu_n, eta_n), stats
+            return (xs_n, us_n, lam_eq_n, lam_in_n, lam_term_n, mu_n, eta_n,
+                    omega_n), stats
 
         eta0 = jnp.maximum(jnp.asarray(st.tol, dtype),
                            mu ** jnp.asarray(st.bcl_alpha, dtype))
-        carry = (xs, us, lam_eq, lam_in, lam_term, mu, eta0)
+        omega0 = jnp.asarray(-1.0, dtype)  # set from the first dual residual
+        carry = (xs, us, lam_eq, lam_in, lam_term, mu, eta0, omega0)
         carry, stats = jax.lax.scan(iteration, carry, None, length=n_iters)
-        xs, us, lam_eq, lam_in, lam_term, mu, _ = carry
+        xs, us, lam_eq, lam_in, lam_term, mu = carry[:6]
         prim, dual, merit, ks_all, Ks_all = stats
         return Results(xs=xs, us=us, ks=ks_all[-1], Ks=Ks_all[-1],
                        lam_eq=lam_eq, lam_in=lam_in, lam_term=lam_term,
