@@ -52,6 +52,21 @@ def go2_kinodynamics_config(mh: RobotModelHandler) -> dict:
     )
 
 
+def talos_kinodynamics_config(mh: RobotModelHandler) -> dict:
+    """examples/talos_kinodynamics.py settings (6D quad feet)."""
+    model = mh.model
+    nv = model.nv
+    return dict(
+        timestep=0.01,
+        w_x=np.ones(2 * nv) * 0.1, w_u=np.ones(6 * 2 + nv - 6) * 1e-3,
+        w_cent=np.ones(6) * 0.1, w_centder=np.ones(6) * 0.1,
+        w_frame=np.ones(6) * 100.0, gravity=np.array([0, 0, -9.81]),
+        force_size=6, qmin=model.lower_limit[7:], qmax=model.upper_limit[7:],
+        kinematics_limits=True, force_cone=True, land_cstr=False,
+        mu=0.8, Lfoot=0.1, Wfoot=0.075,
+    )
+
+
 def go2_fulldynamics_config(mh: RobotModelHandler, force_cone=True) -> dict:
     """examples/go2_fulldynamics.py settings."""
     model = mh.model

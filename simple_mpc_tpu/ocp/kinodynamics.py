@@ -239,6 +239,104 @@ class KinodynamicsOCP(OCPHandler):
         h = self.ineq_constraints(x, u, p)  # cheap: boxes + force cones on u
         return r, w, geq, h, xnext
 
+    def stage_eval_soa(self, X, U, P: KinoStageParams):
+        """Trailing-batch stage_eval: X (nx, N), U (nu, N), P leaves with
+        their leading stage axis moved to the back (moveaxis(0, -1)).
+
+        Semantically identical to vmap(stage_eval) over N stages but laid
+        out for the TPU's vector registers — the batch lives in the lanes
+        (see ops/soa.py module docstring).  Returns (r (nr,N), w (nr,),
+        geq (n_eq,N), h (n_in,N), xnext (nx,N))."""
+        s = self.settings
+        m = self.model
+        dtype = X.dtype
+        N = X.shape[-1]
+        q, v = X[: self.nq], X[self.nq:]
+        f = (U[: self.nk * self.fs].reshape(self.nk, self.fs, N)
+             * P.contact_active[:, None, :])
+        ddq_j = U[self.nk * self.fs:]
+        g = jnp.asarray(s.gravity, dtype=dtype)[:, None]
+
+        from ..ops import soa
+
+        tab = soa._world.tables(m)
+        feet_ids = np.asarray(self.feet_fids)
+        feet_par = tab.fparent[feet_ids]
+
+        oR, op = soa.fk_world(m, q)
+        Sw = soa.world_axes(m, oR, op)
+        com = soa.com_world(m, oR, op)
+        vW = soa.body_velocities(m, Sw, v)
+        fRw, fpw = soa.frame_placements_world(m, oR, op, feet_ids)
+        hg = soa.agx(m, oR, op, Sw, v, com)
+        bias = soa.bias_hdot(m, oR, op, Sw, vW, v, com)
+
+        # external centroidal wrench from the commanded forces
+        Wlin = self.mass * g + jnp.sum(f[:, :3], axis=0)
+        Wang = jnp.sum(soa.cross(fpw - com[None], f[:, :3]), axis=0)
+        if self.fs == 6:
+            Wang = Wang + jnp.sum(f[:, 3:], axis=0)
+        Wr = jnp.concatenate([Wlin, Wang], axis=-2)
+
+        # dynamics (KinodynamicsFwdDynamics + semi-implicit Euler)
+        acc_j = jnp.concatenate([jnp.zeros((6, N), dtype), ddq_j], axis=0)
+        rhs = Wr - bias - soa.agx(m, oR, op, Sw, acc_j, com)
+        a_base = soa.centroidal_solve6(m, oR, op, com, rhs)
+        a = jnp.concatenate([a_base, ddq_j], axis=0)
+        dt = s.timestep
+        v_next = v + dt * a
+        xnext = jnp.concatenate(
+            [soa.integrate(m, q, dt * v_next), v_next], axis=0)
+
+        # costs
+        r_state = soa.state_difference(m, P.x_ref, X)
+        r_u = U - P.u_ref
+        if self.fs == 6:
+            refR = P.foot_ref_R  # (nk,3,3,N)
+            dR = soa.mtm(refR, fRw)
+            dp = soa.mtv(refR, fpw - P.foot_ref_p)
+            foot_r = soa.log6(dR, dp).reshape(-1, N)
+        else:
+            foot_r = (fpw - P.foot_ref_p).reshape(-1, N)
+        r = jnp.concatenate([r_state, r_u, hg, Wr, foot_r], axis=0)
+        w = jnp.concatenate(
+            [jnp.asarray(_dvec(s.w_x)), jnp.asarray(_dvec(s.w_u)),
+             jnp.asarray(_dvec(s.w_cent)), jnp.asarray(_dvec(s.w_centder))]
+            + [jnp.asarray(_dvec(s.w_frame))] * self.nk
+        ).astype(dtype)
+
+        # equality constraints: stance-foot zero velocity (+ land heights)
+        _, v_loc = soa.frame_velocities_world(m, vW, fRw, fpw, feet_par)
+        vf = v_loc[:, :3] if self.vel_dim == 3 else v_loc
+        geq = (vf * (P.contact_active > 0.5)[:, None, :]).reshape(-1, N)
+        if s.land_cstr and self.fs == 3:
+            land_r = fpw[:, 2] - P.foot_ref_p[:, 2]
+            land_on = (P.land > 0.5) & (P.contact_active > 0.5)
+            geq = jnp.concatenate(
+                [geq, jnp.where(land_on, land_r, 0.0)], axis=0)
+
+        # inequalities: joint box (+ force cones), linear in (x, u)
+        rows = []
+        if s.kinematics_limits:
+            qj = X[7: self.nq]
+            lo = jnp.asarray(s.qmin, dtype)[:, None]
+            hi = jnp.asarray(s.qmax, dtype)[:, None]
+            b = jnp.concatenate([qj - hi, lo - qj], axis=0)
+            rows.append(jnp.where(jnp.isfinite(b), b, -1.0))
+        if s.force_cone:
+            A = (cones.friction_cone_mat(s.mu) if self.fs == 3
+                 else cones.wrench_cone_mat(s.mu, s.Lfoot, s.Wfoot))
+            A = jnp.asarray(A, dtype)
+            fk_all = U[: self.nk * self.fs].reshape(self.nk, self.fs, N)
+            cr = jnp.einsum("cf,kfn->kcn", A, fk_all)
+            if self.fs == 3:
+                cr = cr.at[:, 0].add(1e-4)  # fz >= eps (cones.friction_cone)
+            cr = jnp.where(P.contact_active[:, None, :] > 0.5, cr, -1.0)
+            rows.append(cr.reshape(-1, N))
+        h = (jnp.concatenate(rows, axis=0) if rows
+             else jnp.zeros((0, N), dtype))
+        return r, w, geq, h, xnext
+
     def stage_eval_reference(self, x, u, p: KinoStageParams):
         """Per-joint oracle implementation of stage_eval (ops/kinematics,
         ops/dynamics), kept for exactness tests of the flattened hot path."""

@@ -55,3 +55,21 @@ class MultibodyPhaseSpace:
 
     def difference(self, x1, x2):
         return state_ops.state_difference(self.model, x1, x2)
+
+    # -- trailing-batch (SoA) twins: X (nx, N), tangents (nv, N) ----------
+    def integrate_soa(self, X, dX):
+        from ..ops import soa
+
+        return soa.state_integrate(self.model, X, dX)
+
+    def integrate_parts_soa(self, X, dq, dv):
+        from ..ops import soa
+
+        nq = self.model.nq
+        return jnp.concatenate(
+            [soa.integrate(self.model, X[:nq], dq), X[nq:] + dv], axis=0)
+
+    def difference_soa(self, X1, X2):
+        from ..ops import soa
+
+        return soa.state_difference(self.model, X1, X2)

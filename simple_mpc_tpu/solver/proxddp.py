@@ -64,6 +64,12 @@ class SolverSettings:
     # residual (scale-free) and contracts on every accepted update.
     bcl_omega_init: float = 0.1
     bcl_omega_shrink: float = 0.5
+    # Trailing-batch (structure-of-arrays) trajectory evaluation: stage
+    # math runs with the horizon in the vector lanes instead of a vmap
+    # that leaves 3x3 component dims minor-most (see ops/soa.py).  Used
+    # automatically when the OCP implements stage_eval_soa; this flag
+    # exists so equivalence tests can pin the generic path.
+    soa: bool = True
 
 
 class Results(NamedTuple):
@@ -105,10 +111,42 @@ class ProxDDPSolver:
         w_all = jnp.concatenate([w, jnp.full(g.shape, 1.0 / mu, x.dtype), act / mu])
         return r_all, w_all, g, h, xnext
 
+    @property
+    def _use_soa(self) -> bool:
+        return (self.settings.soa
+                and hasattr(self.ocp, "stage_eval_soa")
+                and hasattr(self.space, "integrate_parts_soa"))
+
+    def _stage_bundle_soa(self, X, U, P, LE, LI, mu):
+        """Trailing-batch twin of _stage_bundle: all args (comps..., T)."""
+        r, w, g, h, xnext = self.ocp.stage_eval_soa(X, U, P)
+        sh = h + mu * LI
+        act = (sh > 0).astype(X.dtype)
+        r_all = jnp.concatenate(
+            [r, g + mu * LE, jnp.where(act > 0, sh, 0.0)], axis=0)
+        w_all = jnp.concatenate(
+            [jnp.broadcast_to(w[:, None], r.shape),
+             jnp.full(g.shape, 1.0 / mu, X.dtype), act / mu], axis=0)
+        return r_all, w_all, g, h, xnext
+
+    @staticmethod
+    def _transpose_params(sp):
+        """Stage-param pytree (T, ...) -> trailing-stage (..., T)."""
+        return jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, -1), sp)
+
     def _eval_traj(self, problem, xs, us, lam_eq, lam_in, mu):
-        """Vmapped stage bundles over the horizon: AL cost pieces, raw
-        constraints, and multiple-shooting gaps in one fused pass."""
+        """Stage bundles over the horizon: AL cost pieces, raw constraints,
+        and multiple-shooting gaps in one fused pass.  SoA path when the
+        OCP provides it (horizon in the vector lanes), vmap otherwise."""
         sp = problem.stage_params
+        if self._use_soa:
+            X, U, Xn = xs[:-1].T, us.T, xs[1:].T
+            P = self._transpose_params(sp)
+            r_all, w_all, g, h, xnext = self._stage_bundle_soa(
+                X, U, P, lam_eq.T, lam_in.T, mu)
+            gap = self.space.difference_soa(Xn, xnext)
+            costs = 0.5 * jnp.sum(w_all * r_all * r_all, axis=0)
+            return costs, g.T, h.T, gap.T
 
         def one(x, u, p, le, li, xn):
             r_all, w_all, g, h, xnext = self._stage_bundle(x, u, p, le, li, mu)
@@ -179,6 +217,54 @@ class ProxDDPSolver:
         return dict(A=A, B=B, d=d0,
                     qx=grad[:ndx], qu=grad[ndx:],
                     Qxx=H[:ndx, :ndx], Quu=H[ndx:, ndx:], Qux=H[ndx:, :ndx])
+
+    def _linearize_traj_soa(self, problem, xs, us, lam_eq, lam_in, mu):
+        """Whole-horizon linearization in trailing-batch layout: the T
+        stages ride the vector lanes and the tangent basis rides a leading
+        vmap axis, so each of the 60 forward-mode passes is elementwise
+        over the lanes.  Gauss-Newton products (J^T W J per stage) become
+        T-batched 60 x nr x 60 matmuls on the MXU."""
+        space, ocp = self.space, self.ocp
+        ndx, nu = space.ndx, ocp.nu
+        split = space.tangent_split
+        T = us.shape[0]
+        dtype = xs.dtype
+        X, U, Xn = xs[:-1].T, us.T, xs[1:].T
+        P = self._transpose_params(problem.stage_params)
+        LE, LI = lam_eq.T, lam_in.T
+
+        def bundle(dq, dv, du):
+            Xp = space.integrate_parts_soa(X, dq, dv)
+            r_all, w_all, _, _, xnext = self._stage_bundle_soa(
+                Xp, U + du, P, LE, LI, mu)
+            d = space.difference_soa(Xn, xnext)
+            return r_all, d, w_all  # w_all tangent is zero; primal only
+
+        zq = jnp.zeros((split, T), dtype)
+        zv = jnp.zeros((ndx - split, T), dtype)
+        zu = jnp.zeros((nu, T), dtype)
+
+        def basis(n):
+            return jnp.broadcast_to(jnp.eye(n, dtype=dtype)[..., None],
+                                    (n, n, T))
+
+        (r0, d0, w0), lin_q = jax.linearize(lambda a: bundle(a, zv, zu), zq)
+        _, lin_v = jax.linearize(lambda a: bundle(zq, a, zu)[:2], zv)
+        _, lin_u = jax.linearize(lambda a: bundle(zq, zv, a)[:2], zu)
+        Jr_q, Jd_q, _ = jax.vmap(lin_q)(basis(split))
+        Jr_v, Jd_v = jax.vmap(lin_v)(basis(ndx - split))
+        Jr_u, Jd_u = jax.vmap(lin_u)(basis(nu))
+        Jr = jnp.concatenate([Jr_q, Jr_v, Jr_u], axis=0)  # (ndx+nu, nr, T)
+        Jd = jnp.concatenate([Jd_q, Jd_v, Jd_u], axis=0)  # (ndx+nu, ndx, T)
+
+        grad = jnp.einsum("ent,nt->te", Jr, w0 * r0)  # (T, ndx+nu)
+        H = jnp.einsum("ant,bnt->tab", Jr * w0[None], Jr)  # (T, 60, 60)
+        A = jnp.transpose(Jd[:ndx], (2, 1, 0))  # (T, ndx, ndx)
+        B = jnp.transpose(Jd[ndx:], (2, 1, 0))  # (T, ndx, nu)
+        return dict(A=A, B=B, d=d0.T,
+                    qx=grad[:, :ndx], qu=grad[:, ndx:],
+                    Qxx=H[:, :ndx, :ndx], Quu=H[:, ndx:, ndx:],
+                    Qux=H[:, ndx:, :ndx])
 
     def _linearize_term(self, x, p, lam_term, mu):
         space = self.space
@@ -300,9 +386,14 @@ class ProxDDPSolver:
         def iteration(carry, _):
             xs, us, lam_eq, lam_in, lam_term, mu, eta, omega = carry
             sp = problem.stage_params
-            lin = jax.vmap(
-                lambda x, u, xn, p, le, li: self._linearize_stage(x, u, xn, p, le, li, mu)
-            )(xs[:-1], us, xs[1:], sp, lam_eq, lam_in)
+            if self._use_soa:
+                lin = self._linearize_traj_soa(problem, xs, us, lam_eq,
+                                               lam_in, mu)
+            else:
+                lin = jax.vmap(
+                    lambda x, u, xn, p, le, li: self._linearize_stage(
+                        x, u, xn, p, le, li, mu)
+                )(xs[:-1], us, xs[1:], sp, lam_eq, lam_in)
             Vx_T, Vxx_T = self._linearize_term(xs[-1], problem.term_params, lam_term, mu)
             ks, Ks, dual_res = self._backward(lin, Vx_T, Vxx_T, reg)
             dx0 = self.space.difference(xs[0], problem.x0)  # force_initial_condition
