@@ -53,16 +53,35 @@ def go2_kinodynamics_config(mh: RobotModelHandler) -> dict:
 
 
 def talos_kinodynamics_config(mh: RobotModelHandler) -> dict:
-    """examples/talos_kinodynamics.py settings (6D quad feet)."""
+    """examples/talos_kinodynamics.py:49-107 settings (6D quad feet),
+    adapted to the armless reduced Talos in assets/: the reference's
+    per-group weights (base/torso/leg, x10) are mapped onto this model's
+    joint ordering [base, torso(2), legs(2x6)]; arm entries are dropped
+    with the locked arm joints."""
     model = mh.model
     nv = model.nv
+    # reference grouping (talos_kinodynamics.py:49-66), our joint order
+    w_basepos = [0, 0, 1000, 1000, 1000, 1000]
+    w_torsopos = [1, 1000]
+    w_legpos = [0.1] * 6
+    w_basevel = [10.0] * 6
+    w_torsovel = [0.1, 100]
+    w_legvel = [1.0] * 6
+    w_x = np.array(w_basepos + w_torsopos + w_legpos * 2
+                   + w_basevel + w_torsovel + w_legvel * 2) * 10.0
+    w_linforce = np.array([0.001, 0.001, 0.01])
+    w_angforce = np.ones(3) * 0.1
+    w_u = np.concatenate(
+        [w_linforce, w_angforce, w_linforce, w_angforce,
+         np.ones(nv - 6) * 1e-4])
     return dict(
         timestep=0.01,
-        w_x=np.ones(2 * nv) * 0.1, w_u=np.ones(6 * 2 + nv - 6) * 1e-3,
-        w_cent=np.ones(6) * 0.1, w_centder=np.ones(6) * 0.1,
-        w_frame=np.ones(6) * 100.0, gravity=np.array([0, 0, -9.81]),
+        w_x=w_x, w_u=w_u,
+        w_cent=np.concatenate([[0.0, 0.0, 1.0], [0.1, 0.1, 10.0]]),
+        w_centder=np.concatenate([np.zeros(3), np.ones(3) * 0.1]),
+        w_frame=np.ones(6) * 100000.0, gravity=np.array([0, 0, -9.81]),
         force_size=6, qmin=model.lower_limit[7:], qmax=model.upper_limit[7:],
-        kinematics_limits=True, force_cone=True, land_cstr=False,
+        kinematics_limits=True, force_cone=False, land_cstr=False,
         mu=0.8, Lfoot=0.1, Wfoot=0.075,
     )
 

@@ -65,10 +65,9 @@ class IDSettings:
 
     @classmethod
     def from_dict(cls, d: dict) -> "IDSettings":
-        s = cls()
-        for k, v in d.items():
-            setattr(s, k, v)
-        return s
+        from ..utils.config import settings_from_dict
+
+        return settings_from_dict(cls, d)
 
 
 class KinodynamicsID:

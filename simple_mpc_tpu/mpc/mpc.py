@@ -54,10 +54,9 @@ class MPCSettings:
 
     @classmethod
     def from_dict(cls, d: dict) -> "MPCSettings":
-        s = cls()
-        for k, v in d.items():
-            setattr(s, k, v)
-        return s
+        from ..utils.config import settings_from_dict
+
+        return settings_from_dict(cls, d)
 
 
 class MPC:
@@ -113,6 +112,7 @@ class MPC:
         self._last_results = res
 
         self.com0 = np.asarray(self.data_handler.data.com)
+        self.diverged = bool(res.diverged)
         self.now = WALKING
         self.velocity_base = np.zeros(6)
 
@@ -270,6 +270,15 @@ class MPC:
         self.xs, self.us, self.Ks = res.xs, res.us, res.Ks
         self.lams = (res.lam_eq, res.lam_in, res.lam_term)
         self._last_results = res
+        self.diverged = bool(res.diverged)
+        if self.diverged:
+            import warnings
+
+            warnings.warn(
+                "MPC.iterate: solver produced a non-finite iterate "
+                f"(prim={float(res.prim_res):.3e}); the warm start is "
+                "poisoned — reset xs/us before the next tick",
+                RuntimeWarning, stacklevel=2)
         return res
 
     # ------------------------------------------------------------------

@@ -51,10 +51,9 @@ class CentroidalSettings:
 
     @classmethod
     def from_dict(cls, d: dict) -> "CentroidalSettings":
-        s = cls()
-        for k, v in d.items():
-            setattr(s, k, v)
-        return s
+        from ..utils.config import settings_from_dict
+
+        return settings_from_dict(cls, d)
 
 
 class CentroidalStageParams(NamedTuple):

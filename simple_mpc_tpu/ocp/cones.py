@@ -11,6 +11,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# minimum normal force in the friction pyramid's fz row (shared by
+# friction_cone and the formulations' SoA twins so the two constraint
+# paths can never silently diverge)
+FRICTION_EPS = 1e-4
+
+
 def friction_cone_mat(mu: float) -> np.ndarray:
     """(5, 3) pyramid: fz >= eps, |fx| <= mu fz, |fy| <= mu fz."""
     return np.array(
@@ -24,7 +30,7 @@ def friction_cone_mat(mu: float) -> np.ndarray:
     )
 
 
-def friction_cone(f3, mu: float, eps: float = 1e-4):
+def friction_cone(f3, mu: float, eps: float = FRICTION_EPS):
     """Residual (5,) <= 0 for a 3D force in the contact frame."""
     A = jnp.asarray(friction_cone_mat(mu), dtype=f3.dtype)
     r = A @ f3

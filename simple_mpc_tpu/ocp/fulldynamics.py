@@ -60,10 +60,9 @@ class FullDynamicsSettings:
 
     @classmethod
     def from_dict(cls, d: dict) -> "FullDynamicsSettings":
-        s = cls()
-        for k, v in d.items():
-            setattr(s, k, v)
-        return s
+        from ..utils.config import settings_from_dict
+
+        return settings_from_dict(cls, d)
 
 
 class FullStageParams(NamedTuple):

@@ -54,10 +54,9 @@ class KinodynamicsSettings:
 
     @classmethod
     def from_dict(cls, d: dict) -> "KinodynamicsSettings":
-        s = cls()
-        for k, v in d.items():
-            setattr(s, k, v)
-        return s
+        from ..utils.config import settings_from_dict
+
+        return settings_from_dict(cls, d)
 
 
 class KinoStageParams(NamedTuple):
@@ -330,7 +329,7 @@ class KinodynamicsOCP(OCPHandler):
             fk_all = U[: self.nk * self.fs].reshape(self.nk, self.fs, N)
             cr = jnp.einsum("cf,kfn->kcn", A, fk_all)
             if self.fs == 3:
-                cr = cr.at[:, 0].add(1e-4)  # fz >= eps (cones.friction_cone)
+                cr = cr.at[:, 0].add(cones.FRICTION_EPS)  # fz >= eps
             cr = jnp.where(P.contact_active[:, None, :] > 0.5, cr, -1.0)
             rows.append(cr.reshape(-1, N))
         h = (jnp.concatenate(rows, axis=0) if rows

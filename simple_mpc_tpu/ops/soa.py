@@ -359,20 +359,33 @@ def _check_layout(model: RobotModel) -> bool:
             and all(t != FREE for t in model.joint_types[1:]))
 
 
+def _require_layout(model: RobotModel, where: str) -> None:
+    """Hard guard (survives python -O, unlike assert): the SoA kernels
+    support exactly free-flyer-root + 1-dof-chain layouts."""
+    if not _check_layout(model):
+        raise NotImplementedError(
+            f"unsupported joint layout for SoA {where}: expected free-flyer "
+            "root followed by 1-dof joints")
+
+
 def integrate(model: RobotModel, q, dq):
     """q (nq,N) (+) dq (nv,N) -> (nq,N)."""
     if model.joint_types and model.joint_types[0] == FREE:
-        assert _check_layout(model)
+        _require_layout(model, "integrate")
         base = freeflyer_integrate(q[..., :7, :], dq[..., :6, :])
         return jnp.concatenate([base, q[..., 7:, :] + dq[..., 6:, :]], axis=-2)
+    if any(t == FREE for t in model.joint_types):
+        raise NotImplementedError("unsupported joint layout for SoA integrate")
     return q + dq
 
 
 def difference(model: RobotModel, q1, q2):
     if model.joint_types and model.joint_types[0] == FREE:
-        assert _check_layout(model)
+        _require_layout(model, "difference")
         base = freeflyer_difference(q1[..., :7, :], q2[..., :7, :])
         return jnp.concatenate([base, q2[..., 7:, :] - q1[..., 7:, :]], axis=-2)
+    if any(t == FREE for t in model.joint_types):
+        raise NotImplementedError("unsupported joint layout for SoA difference")
     return q2 - q1
 
 
@@ -406,7 +419,7 @@ def fk_world(model: RobotModel, q):
 
     blocks_R, blocks_p = [], []
     if tab.free_base:
-        assert _check_layout(model)
+        _require_layout(model, "fk_world")
         blocks_R.append(quat_to_rotmat(q[3:7, :])[None])
         blocks_p.append(q[0:3, :][None])
     if len(tab.one_dof):

@@ -85,6 +85,9 @@ class Results(NamedTuple):
     merit: jnp.ndarray  # scalar
     mu: jnp.ndarray  # scalar: BCL-evolved AL penalty (thread into the next
     #                  run() call to continue an outer loop across warm starts)
+    diverged: Any = False  # NaN/Inf anywhere in the
+    #                  final iterate — surfaced by MPC so a poisoned solve
+    #                  is never consumed silently (VERDICT r2 §9)
 
 
 def _eps(dtype) -> float:
@@ -115,7 +118,8 @@ class ProxDDPSolver:
     def _use_soa(self) -> bool:
         return (self.settings.soa
                 and hasattr(self.ocp, "stage_eval_soa")
-                and hasattr(self.space, "integrate_parts_soa"))
+                and hasattr(self.space, "integrate_parts_soa")
+                and getattr(self.space, "tangent_split", None) is not None)
 
     def _stage_bundle_soa(self, X, U, P, LE, LI, mu):
         """Trailing-batch twin of _stage_bundle: all args (comps..., T)."""
@@ -481,7 +485,9 @@ class ProxDDPSolver:
         carry, stats = jax.lax.scan(iteration, carry, None, length=n_iters)
         xs, us, lam_eq, lam_in, lam_term, mu = carry[:6]
         prim, dual, merit, ks_all, Ks_all = stats
+        bad = ~(jnp.all(jnp.isfinite(xs)) & jnp.all(jnp.isfinite(us))
+                & jnp.isfinite(merit[-1]))
         return Results(xs=xs, us=us, ks=ks_all[-1], Ks=Ks_all[-1],
                        lam_eq=lam_eq, lam_in=lam_in, lam_term=lam_term,
                        prim_res=prim[-1], dual_res=dual[-1], merit=merit[-1],
-                       mu=mu)
+                       mu=mu, diverged=bad)
