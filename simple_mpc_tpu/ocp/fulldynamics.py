@@ -168,6 +168,103 @@ class FullDynamicsOCP(OCPHandler):
         h = self._ineq_with(x, u, p, forces)
         return r, w, g, h, self._integrate_acc(x, a)
 
+    def stage_eval_soa(self, X, U, P: FullStageParams):
+        """Trailing-batch stage_eval: the whole horizon rides the vector
+        lanes (see ops/soa.py).  The constrained-dynamics KKT solve runs as
+        lane-unrolled Cholesky factorizations (ops/soa_dyn.py) shared by
+        the force cost, the force cones and the integrator — semantically
+        identical to vmap(stage_eval) (pinned by tests), laid out for the
+        TPU.  Reference semantics: fulldynamics.cpp:88-211."""
+        s = self.settings
+        m = self.model
+        dtype = X.dtype
+        N = X.shape[-1]
+        q, v = X[: self.nq], X[self.nq:]
+        tau_full = jnp.concatenate([jnp.zeros((6, N), dtype), U], axis=0)
+
+        from ..ops import soa, soa_dyn
+
+        tab = soa._world.tables(m)
+        feet_ids = np.asarray(self.feet_fids)
+        feet_par = tab.fparent[feet_ids]
+
+        oR, op = soa.fk_world(m, q)
+        Sw = soa.world_axes(m, oR, op)
+        vW = soa.body_velocities(m, Sw, v)
+        IW = soa_dyn.body_inertias_world(m, oR, op)
+        com = soa.com_world(m, oR, op)
+        fRw, fpw = soa.frame_placements_world(m, oR, op, feet_ids)
+        hg = soa.agx(m, oR, op, Sw, v, com)
+
+        a, forces = soa_dyn.constrained_fwd_dynamics_soa(
+            m, q, v, tau_full, self.feet_fids, P.contact_active,
+            dim=self.vel_dim, ref_R=P.foot_ref_R, ref_p=P.foot_ref_p,
+            kp=self.kp, kd=self.kd, prox_mu=self.prox_mu,
+            precomp=(oR, op, Sw, vW, IW))
+
+        dt = s.timestep
+        v_next = v + dt * a
+        xnext = jnp.concatenate(
+            [soa.integrate(m, q, dt * v_next), v_next], axis=0)
+
+        # costs (fulldynamics.cpp:88-137 inventory, same order as stage_eval)
+        r_state = soa.state_difference(m, P.x_ref, X)
+        r_u = U - P.u_ref
+        if self.fs == 6:
+            dR = soa.mtm(P.foot_ref_R, fRw)
+            dp = soa.mtv(P.foot_ref_R, fpw - P.foot_ref_p)
+            foot_r = soa.log6(dR, dp).reshape(-1, N)
+        else:
+            foot_r = (fpw - P.foot_ref_p).reshape(-1, N)
+        # f_ref arrives as (nk, fs, N): the (T, nk, fs) stage param with its
+        # stage axis moved minor-most by the solver's _transpose_params
+        rf = ((forces - P.f_ref) * P.contact_active[:, None, :]).reshape(-1, N)
+        r = jnp.concatenate([r_state, r_u, hg, foot_r, rf], axis=0)
+        w = jnp.concatenate(
+            [jnp.asarray(_dvec(s.w_x)), jnp.asarray(_dvec(s.w_u)),
+             jnp.asarray(_dvec(s.w_cent))]
+            + [jnp.asarray(_dvec(s.w_frame))] * self.nk
+            + [jnp.asarray(_dvec(s.w_forces))] * self.nk
+        ).astype(dtype)
+
+        # equality constraints: landing velocity (world-aligned) + height
+        if s.land_cstr:
+            v_wa, _ = soa.frame_velocities_world(m, vW, fRw, fpw, feet_par)
+            vf = v_wa[:, :3] if self.fs == 3 else v_wa
+            on = ((P.land > 0.5) & (P.contact_active > 0.5))[:, None, :]
+            geq = jnp.where(on, vf, 0.0).reshape(-1, N)
+            if self.fs == 3:
+                land_r = fpw[:, 2] - P.foot_ref_p[:, 2]
+                geq = jnp.concatenate(
+                    [geq, jnp.where(on[:, 0], land_r, 0.0)], axis=0)
+        else:
+            geq = jnp.zeros((0, N), dtype)
+
+        # inequalities: torque box, joint box, cones on the implicit forces
+        rows = []
+        if s.torque_limits:
+            lo = jnp.asarray(s.umin, dtype)[:, None]
+            hi = jnp.asarray(s.umax, dtype)[:, None]
+            b = jnp.concatenate([U - hi, lo - U], axis=0)
+            rows.append(jnp.where(jnp.isfinite(b), b, -1.0))
+        if s.kinematics_limits:
+            qj = X[7: self.nq]
+            lo = jnp.asarray(s.qmin, dtype)[:, None]
+            hi = jnp.asarray(s.qmax, dtype)[:, None]
+            b = jnp.concatenate([qj - hi, lo - qj], axis=0)
+            rows.append(jnp.where(jnp.isfinite(b), b, -1.0))
+        if s.force_cone:
+            A = (cones.friction_cone_mat(s.mu) if self.fs == 3
+                 else cones.wrench_cone_mat(s.mu, s.Lfoot, s.Wfoot))
+            cr = jnp.einsum("cf,kfn->kcn", jnp.asarray(A, dtype), forces)
+            if self.fs == 3:
+                cr = cr.at[:, 0].add(cones.FRICTION_EPS)
+            cr = jnp.where(P.contact_active[:, None, :] > 0.5, cr, -1.0)
+            rows.append(cr.reshape(-1, N))
+        h = (jnp.concatenate(rows, axis=0) if rows
+             else jnp.zeros((0, N), dtype))
+        return r, w, geq, h, xnext
+
     def get_contact_forces(self, x, u, p):
         """Constraint forces (MPC::getContactForces capability,
         mpc.cpp:354-380)."""

@@ -26,7 +26,9 @@ def _small2(dtype):
     (underflow -> inf*0 = NaN) for tiny-but-nonzero rotations."""
     import numpy as _np
 
-    return float(_np.sqrt(_np.finfo(_np.dtype(dtype)).eps))
+    # jnp.finfo understands the ml_dtypes low-precision types (bfloat16)
+    # that numpy's finfo rejects
+    return float(_np.sqrt(float(jnp.finfo(dtype).eps)))
 
 
 def _safe_sqrt(x):

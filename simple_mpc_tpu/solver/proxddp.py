@@ -45,6 +45,11 @@ class SolverSettings:
     reg_init: float = 1e-9
     alphas: tuple = (0.0, 1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
     parallel: bool = False  # associative-scan Riccati backward
+    # lax.scan unroll factor for the serial Riccati/rollout scans: each
+    # scan step is a handful of tiny batched matmuls, so per-step dispatch
+    # overhead dominates at T=100; unrolling amortizes it without changing
+    # the math.
+    scan_unroll: int = 5
     # BCL outer-loop schedule (the AL safeguard Aligator's ProxDDP uses):
     # multipliers update only when the primal residual beats eta = mu^alpha,
     # else mu stiffens by bcl_mu_factor.  Unguarded updates oscillate on
@@ -327,7 +332,9 @@ class ProxDDPSolver:
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
             return (Vx_new, Vxx_new), (k, K, Qu)
 
-        (_, _), (ks, Ks, Qus) = jax.lax.scan(step, (Vx_T, Vxx_T), lin, reverse=True)
+        (_, _), (ks, Ks, Qus) = jax.lax.scan(
+            step, (Vx_T, Vxx_T), lin, reverse=True,
+            unroll=self.settings.scan_unroll)
         dual_res = jnp.max(jnp.abs(Qus))
         return ks, Ks, dual_res
 
@@ -342,7 +349,8 @@ class ProxDDPSolver:
             return dx_next, (dx, du)
 
         dx_T, (dxs, dus) = jax.lax.scan(
-            step, dx0, (lin["A"], lin["B"], lin["d"], ks, Ks)
+            step, dx0, (lin["A"], lin["B"], lin["d"], ks, Ks),
+            unroll=self.settings.scan_unroll
         )
         xs_new = jax.vmap(self.space.integrate)(
             xs, jnp.concatenate([dxs, dx_T[None]], axis=0)
