@@ -83,7 +83,12 @@ def main():
         xs = jnp.tile(jnp.asarray(x0, dtype)[None, None], (B, T + 1, 1))
         us = jnp.tile(jnp.asarray(ocp.get_reference_control(0), dtype)[None, None],
                       (B, T, 1))
-    solver = ProxDDPSolver(ocp, SolverSettings(mu_init=1e-6, max_iters=1))
+    # bf16 tangent sweep: the linearization is HBM-bound on TPU; primal
+    # residuals/defects stay f32 (see SolverSettings.lin_dtype)
+    lin_dtype = os.environ.get("BENCH_LIN_DTYPE", "bfloat16")
+    solver = ProxDDPSolver(ocp, SolverSettings(
+        mu_init=1e-6, max_iters=1,
+        lin_dtype=None if lin_dtype in ("", "none", "float32") else lin_dtype))
     problems = jax.device_put(problems, tpu)
     xs = jax.device_put(xs, tpu)
     us = jax.device_put(us, tpu)
@@ -122,6 +127,23 @@ def main():
     print(f"# sanity: max prim_res={prim:.3e}  p50 batched-call latency="
           f"{_np.median(lat)*1e3:.2f} ms (B={B})", file=sys.stderr)
 
+    # ------------------------------------------------------------------
+    # Latency axis (BASELINE.md): p50 single-tick latency of the fused
+    # receding-horizon MPC step at B=1 — the real-time budget is 10 ms per
+    # mpc.iterate (reference mpc.hpp:41-48, examples/go2_kinodynamics.py:
+    # 217-220).  vs_baseline = 10 ms / p50 (>= 1 means real-time capable).
+    # ------------------------------------------------------------------
+    try:
+        lat_ms = _fused_tick_latency(cpu, tpu, ocp, mh, solver)
+        print(json.dumps({
+            "metric": "go2_kinodynamics_T100_p50_tick_latency_ms",
+            "value": round(lat_ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(10.0 / lat_ms, 4),
+        }))
+    except Exception as e:  # the headline metric must survive regardless
+        print(f"# latency metric failed: {e!r}", file=sys.stderr)
+
     solves_per_s = B * args.iters / dt
     print(json.dumps({
         "metric": "go2_kinodynamics_T100_solves_per_s_per_chip",
@@ -129,6 +151,54 @@ def main():
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_s / 1250.0, 4),
     }))
+
+
+def _fused_tick_latency(cpu, tpu, ocp, mh, solver, n=30):
+    """p50 wall latency of one whole fused MPC tick (recede + swing refs +
+    warm shift + 1 ProxDDP iteration) at B=1 on the chip."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from simple_mpc_tpu.mpc import MPC, MPCSettings
+    from simple_mpc_tpu.mpc.fused import FusedMPC
+
+    with jax.default_device(cpu):
+        mpc = MPC(MPCSettings(support_force=mh.mass * 9.81, max_iters=1,
+                              T_fly=30, T_contact=10, swing_apex=0.15,
+                              init_max_iters=2),
+                  ocp)
+        mpc.solver = solver  # perf-path settings (bf16 tangent sweep)
+        names = mh.feet_names
+        # go2_kinodynamics.py:93-138 quadruped gait cycle
+        FL, FR, RL, RR = names
+        plan = ([{n: True for n in names}] * 10
+                + [{FL: True, FR: False, RL: False, RR: True}] * 30
+                + [{n: True for n in names}] * 10
+                + [{FL: False, FR: True, RL: True, RR: False}] * 30)
+        mpc.generate_cycle_horizon(plan)
+        mpc.switch_to_walk(_np.array([0.2, 0, 0, 0, 0, 0]))
+        fused = FusedMPC(mpc)
+        carry = fused.make_carry(mpc)
+        x_meas = jnp.asarray(mpc.x0, jnp.float32)
+        carry = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, carry)
+    carry = jax.device_put(carry, tpu)
+    x_meas = jax.device_put(x_meas, tpu)
+
+    carry, res = fused.step(carry, x_meas)  # compile
+    _np.asarray(res.prim_res)
+    lats = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        carry, res = fused.step(carry, carry.xs[1])
+        _np.asarray(res.prim_res)  # hard sync (host transfer)
+        lats.append(time.perf_counter() - t0)
+    return float(_np.median(lats) * 1e3)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,9 @@ class MPCSettings:
     T_contact: int = 20
     T: int = 100
     timestep: float = 0.01
+    # iteration cap for the one full solve at construction (mpc.cpp:84-91
+    # hardcodes 100; benchmarks shrink it to bound setup time)
+    init_max_iters: int = 100
 
     @classmethod
     def from_dict(cls, d: dict) -> "MPCSettings":
@@ -95,7 +98,7 @@ class MPC:
         # to settings.max_iters for the receding loop (mpc.cpp:43-91)
         self._init_solver = ProxDDPSolver(
             ocp_handler, SolverSettings(tol=settings.TOL, mu_init=settings.mu_init,
-                                        max_iters=100))
+                                        max_iters=settings.init_max_iters))
         self.solver = ProxDDPSolver(
             ocp_handler, SolverSettings(tol=settings.TOL, mu_init=settings.mu_init,
                                         max_iters=settings.max_iters))

@@ -35,6 +35,17 @@ class Problem:
     def horizon(self) -> int:
         return int(jax.tree_util.tree_leaves(self.stage_params)[0].shape[0])
 
+    def astype(self, dtype) -> "Problem":
+        """Cast every floating leaf (the TPU deployment path runs f32 on a
+        problem built in f64)."""
+        dtype = jnp.dtype(dtype)
+
+        def cast(a):
+            a = jnp.asarray(a)
+            return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+        return jax.tree_util.tree_map(cast, self)
+
 
 def stack_params(params_list: Sequence[Any]):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)

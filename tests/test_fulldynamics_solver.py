@@ -72,6 +72,7 @@ def test_setters_roundtrip():
     np.testing.assert_allclose(np.asarray(ocp.get_reference_force(3, "RR_foot")), f)
 
 
+@pytest.mark.slow
 def test_standing_solve():
     ocp, mh, dh, x0 = make_go2_full(T=6)
     solver = ProxDDPSolver(ocp, SolverSettings(mu_init=1e-4, max_iters=12))

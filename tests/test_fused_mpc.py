@@ -57,6 +57,7 @@ def _queues_as_lists(qarr):
     return out
 
 
+@pytest.mark.slow
 def test_fused_matches_host(go2_pair):
     mpc, fused, carry, xs_meas, mh = go2_pair
     for i in range(xs_meas.shape[0]):
@@ -100,6 +101,7 @@ def test_fused_matches_host(go2_pair):
                                    rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_fused_rollout_runs(go2_pair):
     """Scanned multi-tick rollout compiles and stays finite."""
     mpc, fused, carry, xs_meas, mh = go2_pair

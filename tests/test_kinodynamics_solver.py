@@ -80,6 +80,7 @@ def test_setters_roundtrip():
         np.asarray(ocp.get_reference_state(4))[mh.model.nq: mh.model.nq + 6], v6)
 
 
+@pytest.mark.slow
 def test_standing_solve():
     ocp, mh, dh, x0 = make_go2_kino(T=8)
     solver = ProxDDPSolver(ocp, SolverSettings(mu_init=1e-5, max_iters=12))

@@ -71,6 +71,7 @@ def test_parallel_matches_serial(seed):
     np.testing.assert_allclose(float(dual_p), float(dual_s), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_parallel_long_horizon():
     """T=100 (the benchmark horizon) stays numerically healthy."""
     lin, Vx_T, Vxx_T = random_lq(T=100, seed=3)

@@ -138,6 +138,7 @@ def test_stage_eval_soa_matches(setup):
     np.testing.assert_allclose(np.asarray(xn1.T), np.asarray(xn0), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_solver_soa_equivalence(setup):
     """The SoA trajectory path must reproduce the generic per-stage path."""
     name, mh, _, _ = setup

@@ -142,6 +142,7 @@ def test_stage_eval_soa_matches(setup, land):
     np.testing.assert_allclose(np.asarray(xn1.T), np.asarray(xn0), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_solver_soa_equivalence(setup):
     """The SoA trajectory path must reproduce the generic per-stage path
     through full ProxDDP iterations on the full-dynamics formulation."""

@@ -1,0 +1,93 @@
+"""Generate the accuracy-gate fixtures (BASELINE.md accuracy row).
+
+Aligator/Pinocchio are not installable in this environment, so the
+committed ground truth is the framework's own float64 solve driven to
+tight KKT tolerance (prim/dual <= 1e-6), with the KKT residuals asserted
+here at generation time and re-asserted by tests/test_parity_fixtures.py.
+The f32 TPU path (SoA fast path, and the bf16 tangent sweep used by
+bench.py) must then reproduce these torques/forces to the 1e-4 gate.
+
+Configs: Go2 kinodynamics T=100 and Talos kinodynamics T=100 — the
+benchmark configs of /root/reference/benchmark/{go2,talos}.cpp:20-194 and
+the solver consumption in src/mpc.cpp:84-89.
+
+Writes tests/fixtures/<name>_T<T>.npz with xs, us, lam_*, prim, dual.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from simple_mpc_tpu.configs import (go2_handler, go2_kinodynamics_config,
+                                    talos_handler, talos_kinodynamics_config)
+from simple_mpc_tpu.ocp.kinodynamics import KinodynamicsOCP
+from simple_mpc_tpu.solver.proxddp import ProxDDPSolver, SolverSettings
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "fixtures")
+T = int(os.environ.get("T", 100))
+
+
+def make(name):
+    if name == "go2":
+        mh = go2_handler()
+        cfg = go2_kinodynamics_config(mh)
+        fs = 3
+    else:
+        mh = talos_handler()
+        cfg = talos_kinodynamics_config(mh)
+        fs = 6
+    ocp = KinodynamicsOCP(cfg, mh)
+    x0 = np.asarray(mh.reference_state, np.float64)
+    ocp.create_problem(x0, T, fs, -9.81, False)
+    solver = ProxDDPSolver(ocp, SolverSettings(
+        tol=1e-8, mu_init=1e-4, max_iters=60))
+    xs = jnp.tile(jnp.asarray(x0)[None], (T + 1, 1))
+    us = jnp.tile(jnp.asarray(ocp.get_reference_control(0), jnp.float64)[None],
+                  (T, 1))
+    res = solver.run(ocp.problem, xs, us)
+    # continue the BCL outer loop from the evolved mu until tight
+    for _ in range(4):
+        if float(res.prim_res) < 1e-6 and float(res.dual_res) < 1e-6:
+            break
+        res = solver.run(ocp.problem, res.xs, res.us,
+                         (res.lam_eq, res.lam_in, res.lam_term), res.mu)
+    prim, dual = float(res.prim_res), float(res.dual_res)
+    print(f"{name}: prim={prim:.3e} dual={dual:.3e}")
+    assert prim <= 1e-6, f"{name} fixture not converged: prim={prim}"
+    assert dual <= 1e-6, f"{name} fixture not converged: dual={dual}"
+    # defect check: re-integrate the dynamics along the solution
+    from simple_mpc_tpu.ocp.base import index_params
+
+    gaps = []
+    for t in range(T):
+        p = index_params(ocp.problem.stage_params, t)
+        xn = ocp.dynamics(res.xs[t], res.us[t], p)
+        gaps.append(float(jnp.max(jnp.abs(
+            ocp.space.difference(res.xs[t + 1], xn)))))
+    print(f"{name}: max dynamics defect {max(gaps):.3e}")
+    assert max(gaps) < 1e-6
+
+    os.makedirs(OUT, exist_ok=True)
+    path = os.path.join(OUT, f"{name}_kinodynamics_T{T}.npz")
+    np.savez_compressed(
+        path, xs=np.asarray(res.xs), us=np.asarray(res.us),
+        lam_eq=np.asarray(res.lam_eq), lam_in=np.asarray(res.lam_in),
+        lam_term=np.asarray(res.lam_term), prim=prim, dual=dual, x0=x0,
+        mu=float(res.mu))
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    for name in (sys.argv[1:] or ["go2", "talos"]):
+        make(name)
