@@ -37,6 +37,9 @@ def _tpu_reachable(timeout_s: float = 240.0) -> bool:
         return False
 
 
+_T_START = time.perf_counter()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 128)))
@@ -86,7 +89,10 @@ def main():
     # bf16 tangent sweep: the linearization is HBM-bound on TPU; primal
     # residuals/defects stay f32 (see SolverSettings.lin_dtype)
     lin_dtype = os.environ.get("BENCH_LIN_DTYPE", "bfloat16")
-    kw = {}
+    # 5-alpha ladder: the 1-iteration warm-started tick almost always
+    # accepts alpha=1; two fewer trial evaluations measurably cut the
+    # line-search share of the iteration
+    kw = {"alphas": (0.0, 1.0, 0.5, 0.25, 0.1)}
     if os.environ.get("BENCH_ALPHAS"):
         kw["alphas"] = tuple(
             float(a) for a in os.environ["BENCH_ALPHAS"].split(","))
@@ -108,10 +114,23 @@ def main():
         # a host transfer is the only hard sync
         return float(_np.asarray(r.prim_res).max())
 
-    res = bs.run(problems, xs, us)  # compile + first run
+    def retry(fn, attempts=3, wait=30):
+        # the tunneled remote_compile endpoint flakes occasionally
+        # ("response body closed before all bytes were read") — retry
+        for i in range(attempts):
+            try:
+                return fn()
+            except Exception as e:
+                if i == attempts - 1:
+                    raise
+                print(f"# compile attempt {i + 1} failed ({e!r}); retrying",
+                      file=sys.stderr)
+                time.sleep(wait)
+
+    res = retry(lambda: bs.run(problems, xs, us))  # compile + first run
     force(res)
     lams = (res.lam_eq, res.lam_in, res.lam_term)
-    res = bs.run(problems, res.xs, res.us, lams)  # warm-path compile
+    res = retry(lambda: bs.run(problems, res.xs, res.us, lams))  # warm compile
     force(res)
 
     t0 = time.perf_counter()
@@ -140,7 +159,23 @@ def main():
     # mpc.iterate (reference mpc.hpp:41-48, examples/go2_kinodynamics.py:
     # 217-220).  vs_baseline = 10 ms / p50 (>= 1 means real-time capable).
     # ------------------------------------------------------------------
+    # headline first (crash-safe: the supervisor re-orders it last); the
+    # latency phase below involves more remote compiles that can hang
+    solves_per_s = B * args.iters / dt
+    print(json.dumps({
+        "metric": "go2_kinodynamics_T100_solves_per_s_per_chip",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / 1250.0, 4),
+    }), flush=True)
+
     try:
+        if os.environ.get("BENCH_LATENCY", "1") == "0":
+            raise RuntimeError("latency phase disabled (BENCH_LATENCY=0)")
+        if time.perf_counter() - _T_START > 1200:
+            raise RuntimeError(
+                "throughput phase consumed the time budget; skipping the "
+                "latency phase to keep the headline metric safe")
         lat_ms, call_ms, rtt_ms = _fused_tick_latency(cpu, tpu, ocp, mh)
         print(f"# latency: device tick p50={lat_ms:.2f} ms (scanned), "
               f"single-call p50={call_ms:.2f} ms incl. tunnel RTT "
@@ -150,17 +185,9 @@ def main():
             "value": round(lat_ms, 3),
             "unit": "ms",
             "vs_baseline": round(10.0 / lat_ms, 4),
-        }))
+        }), flush=True)
     except Exception as e:  # the headline metric must survive regardless
         print(f"# latency metric failed: {e!r}", file=sys.stderr)
-
-    solves_per_s = B * args.iters / dt
-    print(json.dumps({
-        "metric": "go2_kinodynamics_T100_solves_per_s_per_chip",
-        "value": round(solves_per_s, 2),
-        "unit": "solves/s/chip",
-        "vs_baseline": round(solves_per_s / 1250.0, 4),
-    }))
 
 
 def _fused_tick_latency(cpu, tpu, ocp, mh, n=20, reps=10):
@@ -248,5 +275,49 @@ def _fused_tick_latency(cpu, tpu, ocp, mh, n=20, reps=10):
     return lat_ms, call_ms, rtt_ms
 
 
+def _supervise():
+    """Run the measurement in a watchdogged child: the tunneled
+    remote-compile endpoint can hang INDEFINITELY (observed), which no
+    in-process retry can interrupt.  The child gets a hard wall-clock
+    budget; one retry on hang/crash.  The child's stdout (the JSON
+    metric lines) is re-emitted verbatim."""
+    budget = int(os.environ.get("BENCH_CHILD_TIMEOUT", 1700))
+
+    def emit(stdout: str) -> bool:
+        """Re-emit the child's lines with the throughput headline LAST
+        (the driver reads the final JSON line)."""
+        lines = [ln for ln in (stdout or "").splitlines() if ln.strip()]
+        head = [ln for ln in lines if "solves_per_s" in ln]
+        rest = [ln for ln in lines if ln not in head]
+        for ln in rest + head:
+            print(ln)
+        return bool(head)
+
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"]
+                + sys.argv[1:],
+                timeout=budget, capture_output=True, text=True)
+            sys.stderr.write(r.stderr[-4000:])
+            if emit(r.stdout):
+                return 0
+            print(f"# bench child exited rc={r.returncode} without a metric",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            err = e.stderr.decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+            sys.stderr.write(err[-4000:])
+            print(f"# bench child exceeded {budget}s (hung remote compile?)",
+                  file=sys.stderr)
+            if emit(out):  # salvage a partial but valid headline
+                return 0
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        sys.argv.remove("--worker")
+        main()
+    else:
+        sys.exit(_supervise())

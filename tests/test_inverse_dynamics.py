@@ -255,6 +255,7 @@ def test_centroidal_id_swing_tracking(solo):
     assert np.abs(p_swing - target0).max() < 1e-3, (p_swing, target0)
 
 
+@pytest.mark.slow
 def test_centroidal_id_com(solo):
     """CentroidalID CoM tracking (centroidal-id.cpp tests :325-341): the CoM
     converges toward a slightly shifted target."""

@@ -8,6 +8,7 @@ the full bundle — the blocks are just groups of directional derivatives.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_kinodynamics_solver import make_go2_kino
 from simple_mpc_tpu.solver.proxddp import ProxDDPSolver, SolverSettings
@@ -31,6 +32,7 @@ def monolithic_linearize(solver, x, u, xn, p, lam_eq, lam_in, mu):
     return Jr_T.T, Jd_T.T
 
 
+@pytest.mark.slow
 def test_split_matches_monolithic():
     ocp, mh, dh, x0 = make_go2_kino(T=3)
     solver = ProxDDPSolver(ocp, SolverSettings())
