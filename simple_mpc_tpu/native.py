@@ -45,6 +45,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.qp_residuals.restype = None
     lib.qp_residuals.argtypes = [ctypes.c_int, ctypes.c_int, dp, dp, dp, dp,
                                  dp, dp, dp, dp, dp]
+    lib.smt_executor_run.restype = ctypes.c_int
+    lib.smt_executor_run.argtypes = (
+        [ctypes.c_int] * 4 + [dp] * 5  # n m nv nu, H A gs ls us
+        + [dp, dp, dp, ctypes.c_int]   # M h JcT nf
+        + [dp, dp, dp]                 # fric_dry fric_visc vjs
+        + [ctypes.c_int] * 2           # n_sub iters
+        + [ctypes.c_double] * 3        # rho sigma alpha
+        + [dp] * 4)                    # z y taus work
     _lib = lib
     return _lib
 
@@ -83,3 +91,51 @@ def solve_qp_host(H, g, A, l, u, iters: int = 100, rho: float = 0.1,
     lib.qp_residuals(n, m, p(H), p(g), p(A), p(l), p(u), p(z), p(y),
                      ctypes.byref(prim), ctypes.byref(dual))
     return z, y, prim.value, dual.value
+
+
+def executor_run(H, A, gs, ls, us, M, h, JcT, nv: int, nu: int,
+                 fric_dry=None, fric_visc=None, vjs=None,
+                 iters: int = 100, rho: float = 0.1, sigma: float = 1e-6,
+                 alpha: float = 1.6, z0=None, y0=None):
+    """Native 1 kHz substep executor (native/executor.cpp): n_sub
+    warm-started ADMM solves against a tick-frozen QP structure with one
+    shared factorization, torque recovery and friction compensation.
+    Returns (taus (n_sub, nu), z, y)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no C++ toolchain?)")
+    H = np.ascontiguousarray(H, dtype=np.float64)
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    gs = np.ascontiguousarray(gs, dtype=np.float64)
+    ls = np.ascontiguousarray(ls, dtype=np.float64)
+    us = np.ascontiguousarray(us, dtype=np.float64)
+    M = np.ascontiguousarray(M, dtype=np.float64)
+    h = np.ascontiguousarray(h, dtype=np.float64)
+    JcT = np.ascontiguousarray(JcT, dtype=np.float64)
+    m, n = A.shape
+    n_sub = gs.shape[0]
+    nf = JcT.shape[1]
+    assert gs.shape == (n_sub, n) and ls.shape == (n_sub, m) \
+        and us.shape == (n_sub, m)
+    z = (np.zeros(n) if z0 is None else np.array(z0, dtype=np.float64))
+    y = (np.zeros(m) if y0 is None else np.array(y0, dtype=np.float64))
+    taus = np.empty((n_sub, nu), dtype=np.float64)
+    work = np.empty(n * n + 3 * m + 2 * n, dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+
+    def p(a):
+        return a.ctypes.data_as(dp) if a is not None else None
+
+    fd = (np.ascontiguousarray(fric_dry, dtype=np.float64)
+          if fric_dry is not None else None)
+    fv = (np.ascontiguousarray(fric_visc, dtype=np.float64)
+          if fric_visc is not None else None)
+    vj = (np.ascontiguousarray(vjs, dtype=np.float64)
+          if vjs is not None else None)
+    rc = lib.smt_executor_run(
+        n, m, nv, nu, p(H), p(A), p(gs), p(ls), p(us), p(M), p(h), p(JcT),
+        nf, p(fd), p(fv), p(vj), n_sub, iters, rho, sigma, alpha,
+        p(z), p(y), p(taus), p(work))
+    if rc != 0:
+        raise RuntimeError("native executor factorization failed")
+    return taus, z, y
