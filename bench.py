@@ -2,11 +2,14 @@
 
 Measures batched 1-iteration ProxDDP solves/s on one chip (the per-tick
 receding-horizon operation, mpc.cpp:212) for the Go2 kinodynamics T=100
-config.  Prints ONE JSON line:
+config, plus the p50 device tick latency of the fused B=1 MPC step
+(10 ms real-time budget, mpc.hpp:41-48).  Prints one JSON line per
+metric; the throughput headline is always the LAST line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline: driver target is 10 000 solves/s on v5p-16 (8 chips) => 1 250
-solves/s/chip; vs_baseline = value / 1250.
+solves/s/chip; vs_baseline = value / 1250.  Latency vs_baseline =
+10 ms / p50.
 """
 import argparse
 import json
@@ -172,6 +175,9 @@ def main():
     try:
         if os.environ.get("BENCH_LATENCY", "1") == "0":
             raise RuntimeError("latency phase disabled (BENCH_LATENCY=0)")
+        if not on_tpu:
+            raise RuntimeError("no TPU; skipping the latency phase on the "
+                               "CPU fallback")
         if time.perf_counter() - _T_START > 1200:
             raise RuntimeError(
                 "throughput phase consumed the time budget; skipping the "

@@ -163,11 +163,12 @@ def test_id_convergence_matrix(robot, equality):
 
     effort = np.asarray(mh.model.effort_limit[6:])
     vmax = np.asarray(mh.model.velocity_limit[6:])
-    errs = []
+    q_ref = np.asarray(mh.reference_state[: mh.model.nq])
+    jerrs = []
     for i in range(N_LONG):
         h.step()
         if i % 100 == 0:
-            errs.append(_base_error(mh, h.q))
+            jerrs.append(float(abs(h.q[7] - q_ref[7])))
         if i >= int(0.9 * N_LONG) and i % 200 == 0:
             # base error < 2e-2 over the final 10% (kinodynamics-id.cpp:270-273)
             assert _base_error(mh, h.q) < 2e-2, (i, h.q[:3])
@@ -178,8 +179,9 @@ def test_id_convergence_matrix(robot, equality):
     qlo = np.asarray(mh.model.lower_limit[7:])
     qhi = np.asarray(mh.model.upper_limit[7:])
     assert (h.q[7:] >= qlo - 1e-6).all() and (h.q[7:] <= qhi + 1e-6).all()
-    # task error decreasing: settled error far below the initial transient
-    assert errs[-1] <= max(errs[0], 1e-3), (errs[0], errs[-1])
+    # the perturbed joint's task error decreases (is_error_decreasing
+    # analogue, kinodynamics-id.cpp:65-75): settled far below the 0.05 kick
+    assert jerrs[-1] < 0.2 * jerrs[0], (jerrs[0], jerrs[-1])
     # contact feet velocity ~ 0 at the end (kinodynamics-id.cpp:162-175)
     for k, fid in enumerate(mh.feet_frame_ids):
         vf = np.asarray(kin.frame_velocity(
