@@ -187,14 +187,15 @@ def test_id_contact_matrix(robot, equality):
                               contact_motion_equality=equality, qp_iters=80)
     else:
         mh = talos_quad_handler()
-        # 150 ADMM iterations: the 6D-wrench QP needs a tighter solve than
-        # solo's to keep the transient foot drift inside the reference's
-        # 1e-2 velocity band (ProxQP solves to optimality; our fixed-count
-        # ADMM at 80 iters peaked at 1.003e-2)
+        # w_contact_force scaled down 100x vs the reference config: our
+        # force-regularization rows are raw newtons (~350 N at Talos
+        # scale), so the reference's 1.0 lets the force task out-shout the
+        # contact-motion task and the feet drift to 1.2e-2 (measured);
+        # at 0.01 the transient peaks at 4.2e-3, inside the band
         settings = IDSettings(kp_base=1.0, kp_posture=1.0, kp_contact=10.0,
                               w_base=1.0, w_posture=0.05,
-                              w_contact_motion=10.0, w_contact_force=1.0,
-                              contact_motion_equality=equality, qp_iters=150)
+                              w_contact_motion=10.0, w_contact_force=0.01,
+                              contact_motion_equality=equality, qp_iters=80)
     idq = KinodynamicsID(mh, DT, settings)
     h = Harness(mh, idq)
     if robot == "solo":
@@ -206,11 +207,7 @@ def test_id_contact_matrix(robot, equality):
             vf = np.asarray(kin.frame_velocity(
                 mh.model, jnp.asarray(h.q), jnp.asarray(h.v), fid,
                 "local_world_aligned"))
-            # talos cost-mode transient peaks at 1.003e-2 (deterministic,
-            # iteration-count independent) — 20% headroom over the
-            # reference band for the soft-contact mode
-            lin_band = 1.2e-2 if (quad and not equality) else 1e-2
-            assert np.linalg.norm(vf[:3]) < lin_band, (i, k, vf)
+            assert np.linalg.norm(vf[:3]) < 1e-2, (i, k, vf)
             if quad:
                 assert np.linalg.norm(vf[3:]) < 1e-1, (i, k, vf)
 
