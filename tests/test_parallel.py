@@ -56,6 +56,47 @@ def test_sharded_equals_unsharded(batch):
     assert int(summary["any_diverged"]) == 0
 
 
+def test_sharded_equals_unsharded_f32():
+    """f32 replica of the driver's dryrun_multichip gate (Go2 kinodynamics,
+    T=3).  Under f32 the shard_map and plain-jit programs compile with
+    different fusion/reduction orders, so exact equality is NOT expected —
+    the observed divergence is accumulated f32 rounding (~2e-5 relative on
+    ~36 N contact forces; round-3 driver log: 8/576 elements past atol
+    1e-5, max rel 1.97e-5).  Gate it scale-aware: rtol=1e-4 with a small
+    absolute floor.  conftest enables x64 globally, which hid this mode
+    from CI in round 3 — hence the explicit disable_x64 scope here."""
+    import dataclasses
+
+    from simple_mpc_tpu.configs import make_go2_kinodynamics
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        ocp, mh, x0 = make_go2_kinodynamics(T=3)
+        solver = ProxDDPSolver(ocp, SolverSettings(mu_init=1e-6, max_iters=1))
+        B, T = 8, ocp.problem.horizon
+        problems = tile_problem(ocp.problem, B)
+        problems = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, problems)
+        x0f = jnp.asarray(x0, jnp.float32)
+        problems = dataclasses.replace(
+            problems, x0=jnp.broadcast_to(x0f[None], (B, x0f.shape[0])))
+        xs = jnp.tile(x0f[None, None], (B, T + 1, 1))
+        us = jnp.tile(jnp.asarray(ocp.get_reference_control(0),
+                                  jnp.float32)[None, None], (B, T, 1))
+        res0 = BatchedSolver(solver, mesh=None).run(problems, xs, us)
+        res1, summary = BatchedSolver(solver, make_mesh(8)).run_summarized(
+            problems, xs, us)
+        assert res0.xs.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(res1.xs), np.asarray(res0.xs),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res1.us), np.asarray(res0.us),
+                                   rtol=1e-4, atol=1e-5)
+        assert int(summary["any_diverged"]) == 0
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
 def test_host_dp_mesh_equals_unsharded(batch):
     """2-D ('host','dp') mesh — the multi-host layout, emulated by
     reshaping the 8 virtual devices to (2, 4)."""
