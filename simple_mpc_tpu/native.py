@@ -117,6 +117,23 @@ def executor_run(H, A, gs, ls, us, M, h, JcT, nv: int, nu: int,
     nf = JcT.shape[1]
     assert gs.shape == (n_sub, n) and ls.shape == (n_sub, m) \
         and us.shape == (n_sub, m)
+    # The C torque recovery indexes z[nv + j] for j < nf and M rows up to
+    # nv — inconsistent shapes would be a silent out-of-bounds read in
+    # native code, so validate them here where a Python error is possible.
+    assert n == nv + nf, f"n={n} != nv+nf={nv + nf}"
+    assert M.shape == (nv, nv), M.shape
+    assert h.shape == (nv,), h.shape
+    assert JcT.shape == (nv, nf), JcT.shape
+    # The executor classifies each constraint row as equality (l==u) or
+    # inequality from the FIRST substep only (tick-frozen structure,
+    # native/executor.cpp).  A row that changes class in a later substep
+    # would silently diverge from the per-substep qp_solve path — reject it.
+    eq_pattern = np.abs(us - ls) < 1e-12
+    if not (eq_pattern == eq_pattern[0]).all():
+        raise ValueError(
+            "equality-row pattern (l == u) must be identical across all "
+            "n_sub substeps: the executor freezes the per-row rho "
+            "classification at substep 0")
     z = (np.zeros(n) if z0 is None else np.array(z0, dtype=np.float64))
     y = (np.zeros(m) if y0 is None else np.array(y0, dtype=np.float64))
     taus = np.empty((n_sub, nu), dtype=np.float64)

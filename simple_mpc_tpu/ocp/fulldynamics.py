@@ -94,12 +94,26 @@ class FullDynamicsOCP(OCPHandler):
         self.nu = nv - 6
         self.mass = model_handler.mass
         self.feet_fids = list(model_handler.feet_frame_ids)
-        kp = settings.Kp_correction
-        kd = settings.Kd_correction
-        self.kp = float(np.mean(kp)) if kp is not None else 0.0
-        self.kd = float(np.mean(kd)) if kd is not None else 0.0
+        # Vector Baumgarte corrector gains, one entry per contact dimension,
+        # installed identically on every contact (fulldynamics.cpp:58-74;
+        # the reference rejects sizes != force_size, :41-48)
+        self.vel_dim = 3 if settings.force_size == 3 else 6
+
+        def _gain(g):
+            if g is None:
+                return 0.0
+            arr = np.asarray(g, dtype=np.float64).reshape(-1)
+            if arr.size == 1:
+                return float(arr[0])
+            if arr.size != self.vel_dim:
+                raise ValueError(
+                    "Force must be of same size as Kp correction"
+                    f" (got {arr.size}, force_size={settings.force_size})")
+            return arr
+
+        self.kp = _gain(settings.Kp_correction)
+        self.kd = _gain(settings.Kd_correction)
         self.prox_mu = 1e-9
-        self.vel_dim = 3 if self.fs == 3 else 6
         n_land_vel = self.nk * (3 if self.fs == 3 else 6) if settings.land_cstr else 0
         n_land_h = self.nk if (settings.land_cstr and self.fs == 3) else 0
         self.n_eq = n_land_vel + n_land_h

@@ -19,6 +19,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.model import FREE, RobotModel
 from . import lie
@@ -349,6 +350,19 @@ def centroidal_state(model: RobotModel, q, v):
 # Forward dynamics (free and constrained)
 # ---------------------------------------------------------------------------
 
+def _baumgarte_rows(gain, dim: int, n_contacts: int, dtype):
+    """Static (n_contacts * dim,) per-row gain vector from a scalar or a
+    per-dimension (dim,) Baumgarte gain (fulldynamics.cpp:58-74: the same
+    vector corrector gain is installed on every contact model)."""
+    arr = np.asarray(gain, dtype=np.float64).reshape(-1)
+    if arr.size == 1:
+        arr = np.full(dim, arr[0])
+    if arr.size != dim:
+        raise ValueError(
+            f"Baumgarte gain must be scalar or ({dim},); got shape {arr.shape}")
+    return jnp.asarray(np.tile(arr, n_contacts), dtype)
+
+
 def forward_dynamics(model: RobotModel, q, v, tau):
     """Unconstrained ddq via Cholesky of CRBA (used in the solver hot path;
     M is reused by the contact KKT)."""
@@ -368,8 +382,10 @@ def constrained_fwd_dynamics(
     contact_dim: int = 3,  # 3 = point (LOCAL), 6 = quad (LOCAL_WORLD_ALIGNED)
     contact_ref_R=None,  # (nc,3,3) anchor orientations (6D only)
     contact_ref_p=None,  # (nc,3)  anchor positions for Baumgarte correction
-    kp: float = 0.0,
-    kd: float = 0.0,
+    kp=0.0,  # Baumgarte gains: scalar or per-dimension (contact_dim,)
+    kd=0.0,  # vector, applied identically to every contact (the reference
+    #          builds each RigidConstraintModel with the same VECTOR
+    #          corrector gains, fulldynamics.cpp:58-74)
     prox_mu: float = 1e-9,
 ):
     """Constrained articulated forward dynamics with Baumgarte stabilization.
@@ -409,8 +425,9 @@ def constrained_fwd_dynamics(
     Jc = Jc_blocks.reshape(nc * d, model.nv)
     jdot_v = (JdotV_blocks @ v).reshape(nc * d)
 
-    corr = kd * (Jc @ v)
-    if kp != 0.0:
+    kp_rows, kd_rows = (_baumgarte_rows(g, d, nc, dtype) for g in (kp, kd))
+    corr = kd_rows * (Jc @ v)
+    if np.any(np.asarray(kp)):
         from .kinematics import fk, frame_placements
 
         oR, op = fk(model, q)
@@ -427,7 +444,7 @@ def constrained_fwd_dynamics(
                          else jnp.asarray(contact_ref_R)[k].astype(dtype))
                 err6 = lie.log6((R_ref.T @ Rf, R_ref.T @ (pf - p_ref)))
                 errs.append(jnp.concatenate([R_ref @ err6[:3], R_ref @ err6[3:]]))
-        corr = corr + kp * jnp.concatenate(errs)
+        corr = corr + kp_rows * jnp.concatenate(errs)
     rhs_c = jdot_v + corr  # desired: Jc ddq + rhs_c = 0 (active rows)
 
     L = jnp.linalg.cholesky(M)

@@ -206,8 +206,8 @@ def constrained_fwd_dynamics_soa(
     dim: int = 3,
     ref_R=None,  # (nk, 3, 3, N)
     ref_p=None,  # (nk, 3, N)
-    kp: float = 0.0,
-    kd: float = 0.0,
+    kp=0.0,  # Baumgarte gains: scalar or per-dimension (dim,) vector,
+    kd=0.0,  # same for every contact (fulldynamics.cpp:58-74)
     prox_mu: float = 1e-9,
     precomp=None,  # optional (oR, op, Sw, vW, IW) to share with the caller
 ):
@@ -247,8 +247,11 @@ def constrained_fwd_dynamics_soa(
         (jnp.ones((), dtype),))
     jdot_v = jnp.einsum("rvn,vn->rn", Jdot, v)
 
-    corr = kd * jnp.einsum("rvn,vn->rn", Jc, v)
-    if kp != 0.0:
+    from .dynamics import _baumgarte_rows
+
+    kp_rows, kd_rows = (_baumgarte_rows(g, dim, nk, dtype) for g in (kp, kd))
+    corr = kd_rows[:, None] * jnp.einsum("rvn,vn->rn", Jc, v)
+    if np.any(np.asarray(kp)):
         fRw, fpw = soa.frame_placements_world(model, oR, op,
                                               np.asarray(feet_ids))
         if dim == 3:
@@ -261,7 +264,7 @@ def constrained_fwd_dynamics_soa(
             e6 = soa.log6(soa.mtm(Rr, fRw), soa.mtv(Rr, fpw - pr))
             err = jnp.concatenate(
                 [soa.mv(Rr, e6[:, :3]), soa.mv(Rr, e6[:, 3:])], axis=-2)
-        corr = corr + kp * err.reshape(nc, N)
+        corr = corr + kp_rows[:, None] * err.reshape(nc, N)
     rhs_c = jdot_v + corr
 
     Lm = chol_unrolled(M)

@@ -115,6 +115,15 @@ class ProxDDPSolver:
         self.ocp = ocp
         self.settings = settings
         self.space = ocp.space
+        if settings.lin_dtype is not None and not self._use_soa:
+            import warnings
+
+            warnings.warn(
+                "SolverSettings.lin_dtype is only honored on the SoA "
+                "linearization path; this OCP/space has no SoA support "
+                f"(or soa=False), so the solver runs full precision "
+                f"(requested lin_dtype={settings.lin_dtype!r})",
+                stacklevel=2)
 
     # ------------------------------------------------------------------
     # Fused trajectory evaluation

@@ -62,7 +62,8 @@ def test_solve_spd_unrolled(setup):
     np.testing.assert_allclose(np.asarray(x.T), x0, atol=1e-9)
 
 
-def test_constrained_dynamics_soa(setup):
+@pytest.mark.parametrize("gains", ["scalar", "vector"])
+def test_constrained_dynamics_soa(setup, gains):
     name, mh, q, v = setup
     model = mh.model
     dim = 3 if name == "go2" else 6
@@ -74,7 +75,13 @@ def test_constrained_dynamics_soa(setup):
     active = jnp.asarray((rng.random((n, nk)) > 0.3).astype(np.float64))
     ref_R = jnp.broadcast_to(jnp.eye(3), (n, nk, 3, 3))
     ref_p = jnp.asarray(rng.normal(size=(n, nk, 3)) * 0.1)
-    kp, kd = 10.0, 2.0
+    if gains == "scalar":
+        kp, kd = 10.0, 2.0
+    else:
+        # non-uniform per-dimension Baumgarte gains (fulldynamics.cpp:58-74
+        # installs VECTOR corrector gains on every RigidConstraintModel)
+        kp = np.linspace(5.0, 30.0, dim)
+        kd = np.linspace(0.5, 4.0, dim)
 
     ddq0, f0 = jax.vmap(
         lambda qq, vv, tt, aa, rr, pp: dyn.constrained_fwd_dynamics(
@@ -90,6 +97,49 @@ def test_constrained_dynamics_soa(setup):
                                atol=1e-6)
     np.testing.assert_allclose(np.moveaxis(np.asarray(f1), -1, 0),
                                np.asarray(f0), atol=1e-6)
+
+    if gains == "vector":
+        # KKT identity oracle: on active rows the solution must satisfy
+        # Jc ddq + Jdot v + Kd_row (Jc v) + Kp_row err = -prox f, with the
+        # per-row gains built INDEPENDENTLY here — pins that each dimension
+        # gets ITS gain (a mean-collapsed scalar fails this for non-uniform
+        # vectors).
+        from simple_mpc_tpu.ops import kinematics as kin
+        from simple_mpc_tpu.ops import lie
+        from simple_mpc_tpu.ops.state import integrate
+
+        kp_rows = np.tile(np.asarray(kp), nk)
+        kd_rows = np.tile(np.asarray(kd), nk)
+        prox = max(1e-9, 50.0 * float(jnp.finfo(q.dtype).eps))
+        i = 0
+        ref = "local" if dim == 3 else "local_world_aligned"
+        qq, vv = q[i], v[i]
+        Jc, JdotV = jax.jvp(
+            lambda t: kin.feet_jacobians(
+                model, integrate(model, qq, t * vv), fids, ref)[:, :dim, :],
+            (jnp.zeros(()),), (jnp.ones(()),))
+        Jc = np.asarray(Jc).reshape(nk * dim, model.nv)
+        jdot_v = (np.asarray(JdotV).reshape(nk * dim, model.nv) @
+                  np.asarray(vv))
+        oR, op = kin.fk(model, qq)
+        fR, fp = kin.frame_placements(model, oR, op)
+        errs = []
+        for k, fid in enumerate(fids):
+            if dim == 3:
+                errs.append(np.asarray(fR[fid]).T @ np.asarray(
+                    fp[fid] - ref_p[i, k]))
+            else:
+                Rr = np.asarray(ref_R[i, k])
+                e6 = np.asarray(lie.log6((
+                    jnp.asarray(Rr.T) @ fR[fid],
+                    jnp.asarray(Rr.T) @ (fp[fid] - ref_p[i, k]))))
+                errs.append(np.concatenate([Rr @ e6[:3], Rr @ e6[3:]]))
+        err = np.concatenate(errs)
+        lhs = (Jc @ np.asarray(ddq0[i]) + jdot_v
+               + kd_rows * (Jc @ np.asarray(vv)) + kp_rows * err)
+        rhs = -prox * np.asarray(f0[i]).reshape(-1)
+        m_rows = np.repeat(np.asarray(active[i]), dim)
+        np.testing.assert_allclose(lhs * m_rows, rhs * m_rows, atol=1e-6)
 
 
 def _make_ocp(name, mh, land=False):
@@ -140,6 +190,37 @@ def test_stage_eval_soa_matches(setup, land):
     np.testing.assert_allclose(np.asarray(g1.T), np.asarray(g0), atol=1e-7)
     np.testing.assert_allclose(np.asarray(h1.T), np.asarray(h0), atol=1e-7)
     np.testing.assert_allclose(np.asarray(xn1.T), np.asarray(xn0), atol=1e-7)
+
+
+def test_ocp_vector_baumgarte_gains():
+    """FullDynamicsOCP carries per-dimension Kp/Kd_correction vectors into
+    BOTH dynamics kernels (no mean-collapse), and rejects wrong sizes like
+    the reference (fulldynamics.cpp:41-48)."""
+    from simple_mpc_tpu.configs import go2_fulldynamics_config
+
+    mh = go2_handler()
+    cfg = dict(go2_fulldynamics_config(mh))
+    cfg["Kp_correction"] = np.array([10.0, 20.0, 40.0])
+    cfg["Kd_correction"] = np.array([1.0, 2.0, 4.0])
+    ocp, x0, T = None, jnp.asarray(mh.reference_state), 4
+    ocp = FullDynamicsOCP(cfg, mh)
+    ocp.create_problem(x0, T, ocp.fs, -9.81, True)
+    np.testing.assert_allclose(np.asarray(ocp.kp), cfg["Kp_correction"])
+    sp = ocp.problem.stage_params
+    rng = np.random.default_rng(5)
+    pert = rng.normal(size=(T, x0.shape[0])) * 0.05
+    pert[:, 3:7] = 0.0
+    xs = x0[None] + jnp.asarray(pert)
+    us = jnp.asarray(rng.normal(size=(T, ocp.nu)))
+    r0, w0, g0, h0, xn0 = jax.vmap(ocp.stage_eval)(xs, us, sp)
+    P = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, -1), sp)
+    r1, w1, g1, h1, xn1 = ocp.stage_eval_soa(xs.T, us.T, P)
+    np.testing.assert_allclose(np.asarray(r1.T), np.asarray(r0), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(xn1.T), np.asarray(xn0), atol=1e-7)
+
+    cfg["Kp_correction"] = np.array([10.0, 20.0])  # wrong size
+    with pytest.raises(ValueError, match="Kp correction"):
+        FullDynamicsOCP(cfg, mh)
 
 
 @pytest.mark.slow
