@@ -16,7 +16,7 @@ from simple_mpc_tpu import (IDSettings, KinodynamicsID, KinodynamicsOCP, MPC,
 from simple_mpc_tpu.configs import go2_handler, go2_kinodynamics_config
 
 
-def main(n_steps=100, T=50):
+def main(n_steps=100, T=50, plant=None):
     mh = go2_handler()
     ocp = KinodynamicsOCP(go2_kinodynamics_config(mh), mh)
     x0 = np.asarray(mh.reference_state)
@@ -39,7 +39,7 @@ def main(n_steps=100, T=50):
         qp_iters=60))
     log = run_closed_loop(mpc, mh, id_solver=idq, n_steps=n_steps,
                           walk_velocity=np.array([0.2, 0, 0, 0, 0, 0]),
-                          gait=gait)
+                          gait=gait, plant=plant)
     save_trajectory(log, "/tmp/go2_kinodynamics.npz")
     return log
 

@@ -35,13 +35,18 @@ def foot_height(mh):
 
 
 def run_closed_loop(mpc, mh, *, id_solver=None, friction=None, n_steps=50,
-                    n_simu=10, walk_velocity=None, gait=None, log_every=10):
+                    n_simu=10, walk_velocity=None, gait=None, log_every=10,
+                    plant=None):
     """Run the MPC + inner-loop + simulator closed loop; returns the state
-    log.  `id_solver=None` selects Riccati feedback (full dynamics)."""
+    log.  `id_solver=None` selects Riccati feedback (full dynamics).
+    `plant` overrides the physics engine (same step(q, v, tau) interface —
+    e.g. sim.mujoco_plant.MuJoCoPlant for independent-engine validation,
+    the reference's PyBullet role)."""
     model = mh.model
     interp = Interpolator(model)
-    sim = Simulator(model, mh.feet_frame_ids,
-                    SimSettings(dt=1e-3, ground_height=foot_height(mh)))
+    sim = plant if plant is not None else Simulator(
+        model, mh.feet_frame_ids,
+        SimSettings(dt=1e-3, ground_height=foot_height(mh)))
     if gait is not None:
         mpc.generate_cycle_horizon(gait)
     if walk_velocity is not None:

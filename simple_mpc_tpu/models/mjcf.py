@@ -20,8 +20,19 @@ def _quat_wxyz(R: np.ndarray) -> np.ndarray:
     return np.array([q[3], q[0], q[1], q[2]])
 
 
-def to_mjcf(model: RobotModel, timestep: float = 0.001, ground: bool = True) -> str:
-    """Emit an MJCF document with identical kinematics/inertials."""
+def to_mjcf(model: RobotModel, timestep: float = 0.001, ground: bool = True,
+            contact_feet=None, foot_radius: float = 0.015,
+            ground_height: float = 0.0) -> str:
+    """Emit an MJCF document with identical kinematics/inertials.
+
+    contact_feet: iterable of operational-frame names to equip with a
+    collision sphere (radius foot_radius, centered on the frame) so the
+    model can be *stepped* as an independent physics plant (the
+    reference's PyBullet role, examples/bullet_robot.py:16-120).  The
+    floor plane is lowered by foot_radius so contact engages exactly when
+    a foot frame reaches z = ground_height.
+    """
+    contact_feet = set(contact_feet or ())
     children: dict = {}
     for j in range(model.njoints):
         children.setdefault(model.parents[j], []).append(j)
@@ -50,6 +61,14 @@ def to_mjcf(model: RobotModel, timestep: float = 0.001, ground: bool = True) -> 
             if f.parent_joint == j:
                 s += (f'{indent}  <site name="{f.name}" pos="{fmt(f.p)}" '
                       f'quat="{fmt(_quat_wxyz(f.R))}" size="0.005"/>\n')
+                if f.name in contact_feet:
+                    # stiff near-rigid contact (solref ~2 ms) so the plant
+                    # behaves like the rigid-contact model being validated
+                    s += (f'{indent}  <geom name="{f.name}_collision" '
+                          f'type="sphere" size="{foot_radius:.12g}" '
+                          f'pos="{fmt(f.p)}" contype="1" conaffinity="1" '
+                          f'friction="1 0.005 0.0001" '
+                          f'solref="0.002 1"/>\n')
         for c in children.get(j, []):
             s += body_xml(c, indent + "  ")
         s += f"{indent}</body>\n"
@@ -57,7 +76,10 @@ def to_mjcf(model: RobotModel, timestep: float = 0.001, ground: bool = True) -> 
 
     world = ""
     if ground:
-        world += '    <geom name="floor" type="plane" size="10 10 0.1" contype="1" conaffinity="1"/>\n'
+        zf = ground_height - (foot_radius if contact_feet else 0.0)
+        world += (f'    <geom name="floor" type="plane" pos="0 0 {zf:.12g}" '
+                  'size="10 10 0.1" contype="1" conaffinity="1" '
+                  'friction="1 0.005 0.0001"/>\n')
     roots = children.get(-1, [])
     for r in roots:
         world += body_xml(r, "    ")

@@ -93,6 +93,11 @@ class FusedMPC:
         self.feet_ref_fids = list(mpc.model_handler.feet_ref_frame_ids)
         self.base_fid = mpc.model_handler.base_frame_id
         self.step = jax.jit(self._step)
+        # donated variant for the real-time loop: the previous tick's carry
+        # buffers are dead the moment the new carry exists, so XLA may
+        # update them in place — fewer HBM allocations/copies per call.
+        # The passed-in carry is CONSUMED (invalid afterwards).
+        self.step_donated = jax.jit(self._step, donate_argnums=0)
 
     # ------------------------------------------------------------------
     # Carry construction from (and sync back to) the host engine
