@@ -34,6 +34,10 @@ from . import foot_trajectory as ft
 
 WALKING = 0
 STANDING = 1
+# MOTION exists for enum parity with LocomotionType (mpc.hpp:59-63); the
+# reference defines it but never transitions to it anywhere in src/mpc.cpp
+# (only WALKING/STANDING are ever assigned, mpc.cpp:94,384,390), so it is
+# intentionally unreachable here too.
 MOTION = 2
 
 

@@ -56,6 +56,41 @@ def test_sharded_equals_unsharded(batch):
     assert int(summary["any_diverged"]) == 0
 
 
+def test_sharded_equals_unsharded_f32_centroidal(batch):
+    """Quick-tier f32 sharding-equality rung: the centroidal formulation
+    compiles in seconds, so CI always exercises the f32 mode where
+    shard_map and plain-jit programs compile with different
+    fusion/reduction orders (conftest's global x64 hid this in round 3).
+    Scale-aware gate as in the kinodynamics twin below."""
+    solver, problems, xs, us = batch
+    import dataclasses
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        f32 = jnp.float32
+
+        def cast(tree):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(f32)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
+        problems32, xs32, us32 = cast(problems), cast(xs), cast(us)
+        s32 = ProxDDPSolver(solver.ocp, dataclasses.replace(
+            solver.settings, max_iters=1))
+        res0 = BatchedSolver(s32, mesh=None).run(problems32, xs32, us32)
+        res1, summary = BatchedSolver(s32, make_mesh(8)).run_summarized(
+            problems32, xs32, us32)
+        assert res0.xs.dtype == f32
+        np.testing.assert_allclose(np.asarray(res1.xs), np.asarray(res0.xs),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res1.us), np.asarray(res0.us),
+                                   rtol=1e-4, atol=1e-4)
+        assert int(summary["any_diverged"]) == 0
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+@pytest.mark.slow
 def test_sharded_equals_unsharded_f32():
     """f32 replica of the driver's dryrun_multichip gate (Go2 kinodynamics,
     T=3).  Under f32 the shard_map and plain-jit programs compile with
@@ -64,7 +99,10 @@ def test_sharded_equals_unsharded_f32():
     ~36 N contact forces; round-3 driver log: 8/576 elements past atol
     1e-5, max rel 1.97e-5).  Gate it scale-aware: rtol=1e-4 with a small
     absolute floor.  conftest enables x64 globally, which hid this mode
-    from CI in round 3 — hence the explicit disable_x64 scope here."""
+    from CI in round 3 — hence the explicit disable_x64 scope here.
+    Nightly tier: the two fresh f32 kinodynamics compiles cost ~4 CPU-min;
+    the quick tier covers the same f32 mode with the centroidal twin
+    above."""
     import dataclasses
 
     from simple_mpc_tpu.configs import make_go2_kinodynamics
