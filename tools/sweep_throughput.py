@@ -30,6 +30,12 @@ CONFIGS = [
     ("a3 u10", 128, {"alphas": (0.0, 1.0, 0.5), "scan_unroll": 10}),
     ("a3 B192", 192, {"alphas": (0.0, 1.0, 0.5)}),
     ("a3 B256", 256, {"alphas": (0.0, 1.0, 0.5)}),
+    # round-4 finding: trimming the ladder 5->3 changed nothing (1216.8 vs
+    # 1218.1 solves/s) — the tick is linearization-bound, so sweep B with
+    # the test-pinned 5-alpha ladder instead
+    ("a5 B192", 192, {}),
+    ("a5 B256", 256, {}),
+    ("a5 B512", 512, {}),
 ]
 if os.environ.get("SWEEP"):
     keep = os.environ["SWEEP"].split(";")
