@@ -53,22 +53,22 @@ def go2_kinodynamics_config(mh: RobotModelHandler) -> dict:
 
 
 def talos_kinodynamics_config(mh: RobotModelHandler) -> dict:
-    """examples/talos_kinodynamics.py:49-107 settings (6D quad feet),
-    adapted to the armless reduced Talos in assets/: the reference's
-    per-group weights (base/torso/leg, x10) are mapped onto this model's
-    joint ordering [base, torso(2), legs(2x6)]; arm entries are dropped
-    with the locked arm joints."""
+    """examples/talos_kinodynamics.py:49-107 settings (6D quad feet) on the
+    22-actuated-joint reduced Talos.  Per-group weights follow the
+    reference's grouping and joint order exactly
+    (talos_kinodynamics.py:49-66): [base, legs(2x6), torso(2), arms(2x4)]."""
     model = mh.model
     nv = model.nv
-    # reference grouping (talos_kinodynamics.py:49-66), our joint order
     w_basepos = [0, 0, 1000, 1000, 1000, 1000]
-    w_torsopos = [1, 1000]
     w_legpos = [0.1] * 6
+    w_torsopos = [1, 1000]
+    w_armpos = [1, 1, 10, 10]
     w_basevel = [10.0] * 6
-    w_torsovel = [0.1, 100]
     w_legvel = [1.0] * 6
-    w_x = np.array(w_basepos + w_torsopos + w_legpos * 2
-                   + w_basevel + w_torsovel + w_legvel * 2) * 10.0
+    w_torsovel = [0.1, 100]
+    w_armvel = [10.0] * 4
+    w_x = np.array(w_basepos + w_legpos * 2 + w_torsopos + w_armpos * 2
+                   + w_basevel + w_legvel * 2 + w_torsovel + w_armvel * 2) * 10.0
     w_linforce = np.array([0.001, 0.001, 0.01])
     w_angforce = np.ones(3) * 0.1
     w_u = np.concatenate(

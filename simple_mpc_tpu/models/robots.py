@@ -37,18 +37,37 @@ def load_solo12() -> RobotModel:
     return model
 
 
-def load_talos() -> RobotModel:
+# Joints the reference fixture keeps actuated (tests/test_utils.cpp:27-34):
+# legs(12) + torso(2) + arm 1-4 both sides(8) = 22; everything else —
+# forearms/wrists (arm 5-7), grippers, head — is locked at half_sitting.
+TALOS_LOCKED_JOINTS = tuple(
+    f"arm_{side}_{i}_joint" for side in ("left", "right") for i in (5, 6, 7)
+) + ("gripper_left_joint", "gripper_right_joint", "head_1_joint", "head_2_joint")
+
+
+def load_talos(reduced: bool = True) -> RobotModel:
+    """Talos biped.  reduced=True (default) mirrors the reference fixture:
+    the full 32-joint model is reduced via build_reduced_model to the
+    22-actuated-joint model every reference Talos config uses
+    (tests/test_utils.cpp:27-63)."""
     model = load_urdf(os.path.join(_ASSETS, "talos.urdf"), name="talos")
     q = model.neutral()
     q[2] = 1.01
-    # torso_1, torso_2
-    q[7:9] = [0.0, 0.006761]
-    # legs: [1..6] half-sitting knees-bent posture
+    # joint order (pinocchio talos tree): legs L(6), legs R(6), torso(2),
+    # arm L(7)+gripper, arm R(7)+gripper, head(2)
     leg = [0.0, 0.0, -0.411354, 0.859395, -0.448041, -0.001708]
-    q[9:15] = leg
-    q[15:21] = leg
+    q[7:13] = leg
+    q[13:19] = leg
+    q[19:21] = [0.0, 0.006761]  # torso
+    q[21:29] = [0.0, 0.25847, 0.173046, -0.525366, 0.0, 0.0, 0.1, 0.0]
+    q[29:37] = [0.0, -0.25847, -0.173046, -0.525366, 0.0, 0.0, 0.1, 0.0]
+    q[37:39] = [0.0, 0.0]  # head
     model.reference_configurations["half_sitting"] = q
-    return model
+    if not reduced:
+        return model
+    from .reduce import build_reduced_model
+
+    return build_reduced_model(model, TALOS_LOCKED_JOINTS, q_ref=q)
 
 
 LOADERS = {"go2": load_go2, "solo12": load_solo12, "talos": load_talos}

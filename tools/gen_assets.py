@@ -108,19 +108,24 @@ def gen_solo12():
 
 
 def gen_talos():
-    """Talos biped, reduced (arms/head folded into torso mass), 6-DoF legs +
-    2-DoF torso = 14 actuated joints, quad (6D-wrench) sole feet."""
+    """Full Talos biped (spec-sheet approximate): 6-DoF legs x2 + 2-DoF
+    torso + 7-DoF arms x2 + 1-DoF grippers x2 + 2-DoF head = 32 actuated
+    joints, quad (6D-wrench) sole feet.  Joint declaration order matches
+    the pinocchio talos_reduced.urdf tree order (legs left, legs right,
+    torso, arm left + gripper, arm right + gripper, head) so configuration
+    vectors line up with the reference examples
+    (reference: tests/test_utils.cpp:27-34, examples/talos_kinodynamics.py:
+    49-66).  The reference fixture locks everything after arm_4 via
+    buildReducedModel (tests/test_utils.cpp:63) -> 22 actuated joints."""
+    # links first (order irrelevant), then joints in tree order
     u = '<?xml version="1.0"?>\n<robot name="talos">\n'
-    # base/pelvis; torso link carries folded arm+head mass (~40 kg)
     u += link("base_link", 15.36284, (-0.05709, 0.0, 0.0973), 0.1016, 0.0657, 0.0971)
     u += link("torso_1_link", 2.294658, (0.00078, -0.00069, 0.0222), 0.00419, 0.00296, 0.00323)
-    u += link("torso_2_link", 41.1, (-0.04551, -0.00053, 0.2216), 1.2466, 1.1398, 0.3483)
-    u += joint("torso_1_joint", "revolute", "base_link", "torso_1_link", (0, 0, 0.0722),
-               axis=(0, 0, 1), lower=-1.308, upper=1.308, effort=78.0, velocity=5.4)
-    u += joint("torso_2_joint", "revolute", "torso_1_link", "torso_2_link", (0, 0, 0),
-               axis=(0, 1, 0), lower=-0.262, upper=0.785, effort=78.0, velocity=5.4)
+    # torso_2 carries the electronics backpack (arms/head are separate now)
+    u += link("torso_2_link", 18.80, (-0.04551, -0.00053, 0.2216), 0.570, 0.521, 0.159)
+    u += link("head_1_link", 0.65, (0.0, 0.0, 0.02), 0.00122, 0.00093, 0.00109)
+    u += link("head_2_link", 1.40, (0.01, 0.0, 0.09), 0.00985, 0.01059, 0.00734)
     for side, sgn in (("left", 1.0), ("right", -1.0)):
-        y = sgn * 0.085
         u += link(f"leg_{side}_1_link", 1.845591, (0.02395, 0.00654 * sgn, 0.0611),
                   0.00579, 0.00757, 0.00483)
         u += link(f"leg_{side}_2_link", 1.490952, (-0.00704, -0.00173 * sgn, -0.0282),
@@ -134,6 +139,25 @@ def gen_talos():
         u += link(f"leg_{side}_6_link", 1.58062, (0.02026, -0.00061 * sgn, -0.0794),
                   0.00514, 0.00812, 0.00481)
         u += empty_link(f"{side}_sole_link")
+        u += link(f"arm_{side}_1_link", 2.10, (-0.002, sgn * 0.059, -0.012),
+                  0.00499, 0.00417, 0.00357)
+        u += link(f"arm_{side}_2_link", 2.20, (0.009, sgn * 0.012, -0.075),
+                  0.00837, 0.00879, 0.00300)
+        u += link(f"arm_{side}_3_link", 2.20, (0.005, sgn * -0.002, -0.112),
+                  0.00964, 0.00970, 0.00233)
+        u += link(f"arm_{side}_4_link", 1.10, (-0.005, sgn * 0.001, -0.086),
+                  0.00297, 0.00295, 0.00086)
+        u += link(f"arm_{side}_5_link", 1.00, (0.0, sgn * 0.001, -0.066),
+                  0.00152, 0.00150, 0.00057)
+        u += link(f"arm_{side}_6_link", 0.60, (0.0, 0.0, -0.029),
+                  0.00030, 0.00030, 0.00022)
+        u += link(f"arm_{side}_7_link", 0.25, (0.006, 0.0, -0.024),
+                  0.00011, 0.00010, 0.00008)
+        u += link(f"gripper_{side}_link", 0.70, (0.0, 0.0, -0.060),
+                  0.00138, 0.00122, 0.00052)
+    # joints in pinocchio tree order: legs L, legs R, torso, arm L, arm R, head
+    for side, sgn in (("left", 1.0), ("right", -1.0)):
+        y = sgn * 0.085
         u += joint(f"leg_{side}_1_joint", "revolute", "base_link", f"leg_{side}_1_link",
                    (-0.02, y, -0.13), axis=(0, 0, 1), lower=-0.349066, upper=1.5708,
                    effort=100.0, velocity=3.87)
@@ -154,6 +178,44 @@ def gen_talos():
                    lower=-0.5236, upper=0.5236, effort=100.0, velocity=4.8)
         u += joint(f"leg_{side}_sole_fix_joint", "fixed", f"leg_{side}_6_link",
                    f"{side}_sole_link", (0, 0, -0.107))
+    u += joint("torso_1_joint", "revolute", "base_link", "torso_1_link", (0, 0, 0.0722),
+               axis=(0, 0, 1), lower=-1.308, upper=1.308, effort=78.0, velocity=5.4)
+    u += joint("torso_2_joint", "revolute", "torso_1_link", "torso_2_link", (0, 0, 0),
+               axis=(0, 1, 0), lower=-0.262, upper=0.785, effort=78.0, velocity=5.4)
+    for side, sgn in (("left", 1.0), ("right", -1.0)):
+        # 7-DoF arm: shoulder z/x/z, elbow y, forearm z, wrist x/y
+        lo1, up1 = (-1.57, 0.52) if side == "left" else (-0.52, 1.57)
+        lo2, up2 = (0.0, 2.87) if side == "left" else (-2.87, 0.0)
+        u += joint(f"arm_{side}_1_joint", "revolute", "torso_2_link",
+                   f"arm_{side}_1_link", (0.0, sgn * 0.1575, 0.2325),
+                   axis=(0, 0, 1), lower=lo1, upper=up1, effort=44.64, velocity=2.7)
+        u += joint(f"arm_{side}_2_joint", "revolute", f"arm_{side}_1_link",
+                   f"arm_{side}_2_link", (0.0, sgn * 0.00493, -0.017),
+                   axis=(1, 0, 0), lower=lo2, upper=up2, effort=44.64, velocity=3.66)
+        u += joint(f"arm_{side}_3_joint", "revolute", f"arm_{side}_2_link",
+                   f"arm_{side}_3_link", (0.0, 0.0, -0.1), axis=(0, 0, 1),
+                   lower=-2.42, upper=2.42, effort=17.86, velocity=4.58)
+        u += joint(f"arm_{side}_4_joint", "revolute", f"arm_{side}_3_link",
+                   f"arm_{side}_4_link", (0.0, sgn * 0.02, -0.17), axis=(0, 1, 0),
+                   lower=-2.23, upper=0.0, effort=17.86, velocity=4.58)
+        u += joint(f"arm_{side}_5_joint", "revolute", f"arm_{side}_4_link",
+                   f"arm_{side}_5_link", (0.0, 0.0, -0.16), axis=(0, 0, 1),
+                   lower=-2.51, upper=2.51, effort=3.0, velocity=1.95)
+        u += joint(f"arm_{side}_6_joint", "revolute", f"arm_{side}_5_link",
+                   f"arm_{side}_6_link", (0.0, 0.0, -0.1), axis=(1, 0, 0),
+                   lower=-1.37, upper=1.37, effort=6.6, velocity=1.76)
+        u += joint(f"arm_{side}_7_joint", "revolute", f"arm_{side}_6_link",
+                   f"arm_{side}_7_link", (0.0, 0.0, -0.07), axis=(0, 1, 0),
+                   lower=-0.68, upper=0.68, effort=6.6, velocity=1.76)
+        u += joint(f"gripper_{side}_joint", "revolute", f"arm_{side}_7_link",
+                   f"gripper_{side}_link", (0.0, 0.0, -0.07), axis=(1, 0, 0),
+                   lower=-0.96, upper=0.0, effort=10.0, velocity=1.0)
+    u += joint("head_1_joint", "revolute", "torso_2_link", "head_1_link",
+               (0.0, 0.0, 0.32), axis=(0, 1, 0), lower=-0.21, upper=0.79,
+               effort=8.0, velocity=3.0)
+    u += joint("head_2_joint", "revolute", "head_1_link", "head_2_link",
+               (0.0, 0.0, 0.1), axis=(0, 0, 1), lower=-1.31, upper=1.31,
+               effort=4.0, velocity=3.0)
     u += "</robot>\n"
     return u
 
