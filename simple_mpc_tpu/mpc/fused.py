@@ -98,6 +98,12 @@ class FusedMPC:
         # update them in place — fewer HBM allocations/copies per call.
         # The passed-in carry is CONSUMED (invalid afterwards).
         self.step_donated = jax.jit(self._step, donate_argnums=0)
+        # scenario-batched whole tick: B independent receding-horizon
+        # engines advanced by one full MPC::iterate each (the reference's
+        # per-tick unit of work, mpc.cpp:189-218) in one XLA program.
+        self.step_batched = jax.jit(jax.vmap(self._step))
+        self.step_batched_donated = jax.jit(jax.vmap(self._step),
+                                            donate_argnums=0)
 
     # ------------------------------------------------------------------
     # Carry construction from (and sync back to) the host engine
@@ -127,6 +133,14 @@ class FusedMPC:
             com0_z=jnp.asarray(mpc.com0[2]),
             now=jnp.asarray(mpc.now, jnp.int32),
         )
+
+    @staticmethod
+    def tile_carry(carry: MPCCarry, batch: int) -> MPCCarry:
+        """Replicate a carry to a leading (B, ...) scenario batch for
+        step_batched (independent engines; perturb x0/xs per scenario for
+        distinct rollouts)."""
+        return jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (batch,) + a.shape), carry)
 
     def switch_to_walk(self, carry: MPCCarry, velocity_base) -> MPCCarry:
         return carry._replace(now=jnp.asarray(WALKING, jnp.int32),

@@ -124,6 +124,15 @@ class FullDynamicsOCP(OCPHandler):
         self.n_term_eq = 3
         self._use_term_eq = False
 
+    @property
+    def u_scale(self):
+        """Per-joint torque magnitudes for solver nondimensionalization
+        (SolverSettings.u_scale="auto"): the actuator effort limits span
+        3-300 Nm across a humanoid, so scaling each torque by its own
+        limit keeps the Riccati pipeline O(1) per coordinate."""
+        lim = np.asarray(self.model.effort_limit[6:], np.float64)
+        return np.where(np.isfinite(lim) & (lim > 0), lim, 1.0)
+
     # -- params --------------------------------------------------------------
     def make_stage_params(self, active, poses_R, poses_p, forces, land):
         return FullStageParams(

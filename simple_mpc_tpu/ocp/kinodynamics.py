@@ -98,6 +98,24 @@ class KinodynamicsOCP(OCPHandler):
         self.n_term_eq = 0  # set by make_term_params when DCM equality enabled
         self._use_term_eq = False
 
+    @property
+    def u_scale(self):
+        """Per-coordinate control magnitudes for solver nondimensionalization
+        (SolverSettings.u_scale="auto"): contact forces ~ m*g, contact
+        torques (fs=6) ~ m*g*footprint, joint accelerations ~ 1.  Pure
+        reparameterization — Gauss-Newton steps are invariant in exact
+        arithmetic; in f32 it removes the 450 N-vs-O(1) cancellation floor
+        on Talos (BASELINE.md accuracy row)."""
+        s = self.settings
+        g = abs(float(np.asarray(s.gravity)[2])) if s.gravity is not None else 9.81
+        mg = float(self.mass) * g
+        blk = np.full(self.fs, mg)
+        if self.fs == 6:
+            blk[3:] = mg * max(float(s.Lfoot), float(s.Wfoot))
+        w = np.ones(self.nu)
+        w[: self.nk * self.fs] = np.tile(blk, self.nk)
+        return w
+
     # -- params --------------------------------------------------------------
     def make_stage_params(self, active, poses_R, poses_p, forces, land):
         return KinoStageParams(

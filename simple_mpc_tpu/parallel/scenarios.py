@@ -160,6 +160,14 @@ class BatchedSolver:
     def _run_batch(self, problems, xs_b, us_b, lams_b):
         return self._local_run(problems, xs_b, us_b, lams_b)
 
+    # Donated warm-loop variant: in the receding-horizon throughput loop the
+    # previous call's xs/us/lams buffers are dead as soon as the new Results
+    # exist, so XLA may write the outputs in place (fewer HBM allocations +
+    # copies per tick).  The passed-in xs_b/us_b/lams_b are CONSUMED.
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4))
+    def _run_batch_donated(self, problems, xs_b, us_b, lams_b):
+        return self._local_run(problems, xs_b, us_b, lams_b)
+
     @partial(jax.jit, static_argnums=(0,))
     def _run_batch_cold(self, problems, xs_b, us_b):
         return self._local_run(problems, xs_b, us_b, None)
@@ -179,6 +187,15 @@ class BatchedSolver:
             return self._run_batch(problems, xs_b, us_b, lams_b)
         problems, xs_b, us_b, lams_b = self._place(problems, xs_b, us_b, lams_b)
         return self._run_sharded(problems, xs_b, us_b, lams_b is None, lams_b)
+
+    def run_donated(self, problems, xs_b, us_b, lams_b):
+        """Warm-loop `run` that donates xs_b/us_b/lams_b to the outputs
+        (they are invalid afterwards).  Use in tight receding-horizon loops
+        where the previous iterate is discarded every call; requires warm
+        lams and no mesh (the sharded path manages placement itself)."""
+        if self.mesh is not None:
+            return self.run(problems, xs_b, us_b, lams_b)
+        return self._run_batch_donated(problems, xs_b, us_b, lams_b)
 
     def run_summarized(self, problems, xs_b, us_b, lams_b=None):
         """(results, summary) with the summary reduced by in-graph

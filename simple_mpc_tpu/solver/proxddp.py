@@ -84,6 +84,16 @@ class SolverSettings:
     # automatically when the OCP implements stage_eval_soa; this flag
     # exists so equivalence tests can pin the generic path.
     soa: bool = True
+    # Control variable scaling (nondimensionalization): the solver takes
+    # its step in u_hat = u / u_scale, i.e. every u-derivative is chained
+    # through du = u_scale * du_hat and the Riccati recursion, line search
+    # and gains operate on O(1) quantities.  For force-carrying controls
+    # (kinodynamics contact wrenches ~ m*g ~ 900 N on Talos) this removes
+    # the mixed-magnitude cancellation that sets the f32 accuracy floor
+    # (BASELINE.md accuracy row; VERDICT r4 next #6).  "auto" reads the
+    # OCP's u_scale property (falls back to None); None = identity.
+    # Returned Results.ks/Ks are always in PHYSICAL units.
+    u_scale: Any = None
 
 
 class Results(NamedTuple):
@@ -115,6 +125,15 @@ class ProxDDPSolver:
         self.ocp = ocp
         self.settings = settings
         self.space = ocp.space
+        u_sc = settings.u_scale
+        if isinstance(u_sc, str):
+            if u_sc != "auto":
+                raise ValueError(f"u_scale: expected 'auto' or array, got {u_sc!r}")
+            u_sc = getattr(ocp, "u_scale", None)
+        self._u_scale = None if u_sc is None else np.asarray(u_sc, np.float64)
+        if self._u_scale is not None and self._u_scale.shape != (ocp.nu,):
+            raise ValueError(
+                f"u_scale shape {self._u_scale.shape} != (nu,) = ({ocp.nu},)")
         if settings.lin_dtype is not None and not self._use_soa:
             import warnings
 
@@ -234,7 +253,11 @@ class ProxDDPSolver:
             Jr_vT, Jd_vT = jax.vmap(lin_v)(jnp.eye(ndx - split, dtype=x.dtype))
             Jr_xT = jnp.concatenate([Jr_qT, Jr_vT], axis=0)
             Jd_xT = jnp.concatenate([Jd_qT, Jd_vT], axis=0)
-        _, lin_u = jax.linearize(lambda du: bundle(x, u + du)[:2], jnp.zeros(nu, x.dtype))
+        su = (None if self._u_scale is None
+              else jnp.asarray(self._u_scale, x.dtype))
+        _, lin_u = jax.linearize(
+            lambda du: bundle(x, u + (du if su is None else su * du))[:2],
+            jnp.zeros(nu, x.dtype))
         Jr_uT, Jd_uT = jax.vmap(lin_u)(jnp.eye(nu, dtype=x.dtype))
         J = jnp.concatenate([Jr_xT.T, Jr_uT.T], axis=1)  # (nr, ndx+nu)
         AB = jnp.concatenate([Jd_xT.T, Jd_uT.T], axis=1)  # (ndx, ndx+nu)
@@ -275,10 +298,13 @@ class ProxDDPSolver:
         Pc = jax.tree_util.tree_map(_cast, P)
         LEc, LIc, muc = _cast(LE), _cast(LI), jnp.asarray(mu, cdt)
 
+        su = (None if self._u_scale is None
+              else jnp.asarray(self._u_scale, cdt)[:, None])
+
         def bundle(dq, dv, du):
             Xp = space.integrate_parts_soa(Xc, dq, dv)
             r_all, w_all, _, _, xnext = self._stage_bundle_soa(
-                Xp, Uc + du, Pc, LEc, LIc, muc)
+                Xp, Uc + (du if su is None else su * du), Pc, LEc, LIc, muc)
             d = space.difference_soa(Xnc, xnext)
             return r_all, d, w_all  # w_all tangent is zero; primal only
 
@@ -409,6 +435,8 @@ class ProxDDPSolver:
         xs_new = jax.vmap(self.space.integrate)(
             xs, jnp.concatenate([dxs, dx_T[None]], axis=0)
         )
+        if self._u_scale is not None:  # dus is in u_hat units; chain back
+            dus = dus * jnp.asarray(self._u_scale, us.dtype)[None, :]
         us_new = us + dus
         return xs_new, us_new
 
@@ -549,7 +577,12 @@ class ProxDDPSolver:
         prim, dual, merit, ks_all, Ks_all = stats
         bad = ~(jnp.all(jnp.isfinite(xs)) & jnp.all(jnp.isfinite(us))
                 & jnp.isfinite(merit[-1]))
-        return Results(xs=xs, us=us, ks=ks_all[-1], Ks=Ks_all[-1],
+        ks_out, Ks_out = ks_all[-1], Ks_all[-1]
+        if self._u_scale is not None:  # gains back to physical u units
+            su_out = jnp.asarray(self._u_scale, dtype)
+            ks_out = ks_out * su_out[None, :]
+            Ks_out = Ks_out * su_out[None, :, None]
+        return Results(xs=xs, us=us, ks=ks_out, Ks=Ks_out,
                        lam_eq=lam_eq, lam_in=lam_in, lam_term=lam_term,
                        prim_res=prim[-1], dual_res=dual[-1], merit=merit[-1],
                        mu=mu, diverged=bad)

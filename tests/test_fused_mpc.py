@@ -110,3 +110,44 @@ def test_fused_rollout_runs(go2_pair):
     carry3, (us0, xs1, prim) = fused.self_rollout(carry2, 3)
     assert us0.shape == (3, mpc.us.shape[1])
     assert np.all(np.isfinite(np.asarray(us0)))
+
+
+@pytest.mark.slow
+def test_step_batched_matches_single(go2_pair):
+    """vmapped whole-tick step (the bench's ticks/s metric path) equals B
+    independent single-engine steps, with distinct per-scenario states."""
+    mpc, fused, carry, xs_meas, mh = go2_pair
+    B = 3
+    cb = fused.tile_carry(carry, B)
+    # distinct scenarios: perturb each engine's warm start + measurement
+    key_xs = jnp.asarray(np.linspace(-1e-3, 1e-3, B))[:, None, None]
+    cb = cb._replace(xs=cb.xs + key_xs * jnp.ones_like(cb.xs))
+    x_b = jnp.stack([jnp.asarray(xs_meas[i % xs_meas.shape[0]])
+                     for i in range(B)])
+    cb2, res_b = fused.step_batched(cb, x_b)
+    for i in range(B):
+        ci = jax.tree_util.tree_map(lambda a: a[i], cb)
+        _, res_i = fused.step(ci, x_b[i])
+        np.testing.assert_allclose(np.asarray(res_b.us[i]),
+                                   np.asarray(res_i.us),
+                                   rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(res_b.xs[i]),
+                                   np.asarray(res_i.xs),
+                                   rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_benched_latency_config_feasible():
+    """Pins the EXACT configuration bench.py's latency phase times
+    (parallel-in-time Riccati + bf16 tangent sweep + f32 carry, Go2
+    kinodynamics T=100 walking) to the same feasibility bound the bench
+    asserts: max prim over a 20-tick self-consumed rollout < 1e-3 from the
+    pristine tick-0 carry (VERDICT r4 next #3)."""
+    import bench as bench_mod
+
+    ocp, mh, _ = make_go2_kinodynamics(100)
+    cpu = jax.devices("cpu")[0]
+    fused, carry, _ = bench_mod._make_fused(cpu, ocp, mh, parallel=True)
+    _, (_, _, prims) = fused.self_rollout(carry, 20)
+    prim = float(np.asarray(prims).max())
+    assert prim < 1e-3, f"benched latency config infeasible: prim={prim:.3e}"

@@ -7,11 +7,14 @@ here at generation time and re-asserted by tests/test_parity_fixtures.py.
 The f32 TPU path (SoA fast path, and the bf16 tangent sweep used by
 bench.py) must then reproduce these torques/forces to the 1e-4 gate.
 
-Configs: Go2 kinodynamics T=100 and Talos kinodynamics T=100 — the
-benchmark configs of /root/reference/benchmark/{go2,talos}.cpp:20-194 and
-the solver consumption in src/mpc.cpp:84-89.
+Configs: Go2/Talos kinodynamics T=100 (the benchmark configs of
+/root/reference/benchmark/{go2,talos}.cpp:20-194, solver consumption
+src/mpc.cpp:84-89) and Go2 full dynamics T=100 (src/fulldynamics.cpp —
+the formulation whose us ARE the joint torques commanded to the robot,
+examples/go2_fulldynamics.py).
 
 Writes tests/fixtures/<name>_T<T>.npz with xs, us, lam_*, prim, dual.
+Usage: python tools/make_parity_fixtures.py [go2|talos|go2_fd ...]
 """
 import os
 import sys
@@ -38,18 +41,38 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 T = int(os.environ.get("T", 100))
 
 
-def make(name):
+def build_ocp(name):
+    """Shared with tests/test_parity_fixtures.py: one source of truth for
+    the fixture problems."""
     if name == "go2":
         mh = go2_handler()
-        cfg = go2_kinodynamics_config(mh)
+        ocp = KinodynamicsOCP(go2_kinodynamics_config(mh), mh)
+        fs = 3
+    elif name == "talos":
+        mh = talos_handler()
+        ocp = KinodynamicsOCP(talos_kinodynamics_config(mh), mh)
+        fs = 6
+    elif name == "go2_fd":
+        from simple_mpc_tpu.configs import go2_fulldynamics_config
+        from simple_mpc_tpu.ocp.fulldynamics import FullDynamicsOCP
+
+        mh = go2_handler()
+        ocp = FullDynamicsOCP(go2_fulldynamics_config(mh), mh)
         fs = 3
     else:
-        mh = talos_handler()
-        cfg = talos_kinodynamics_config(mh)
-        fs = 6
-    ocp = KinodynamicsOCP(cfg, mh)
+        raise ValueError(name)
     x0 = np.asarray(mh.reference_state, np.float64)
     ocp.create_problem(x0, T, fs, -9.81, False)
+    return ocp, mh
+
+
+FIXNAMES = {"go2": "go2_kinodynamics", "talos": "talos_kinodynamics",
+            "go2_fd": "go2_fulldynamics"}
+
+
+def make(name):
+    ocp, mh = build_ocp(name)
+    x0 = np.asarray(mh.reference_state, np.float64)
     solver = ProxDDPSolver(ocp, SolverSettings(
         tol=1e-8, mu_init=1e-4, max_iters=60))
     xs = jnp.tile(jnp.asarray(x0)[None], (T + 1, 1))
@@ -79,7 +102,7 @@ def make(name):
     assert max(gaps) < 1e-6
 
     os.makedirs(OUT, exist_ok=True)
-    path = os.path.join(OUT, f"{name}_kinodynamics_T{T}.npz")
+    path = os.path.join(OUT, f"{FIXNAMES[name]}_T{T}.npz")
     np.savez_compressed(
         path, xs=np.asarray(res.xs), us=np.asarray(res.us),
         lam_eq=np.asarray(res.lam_eq), lam_in=np.asarray(res.lam_in),
@@ -89,5 +112,5 @@ def make(name):
 
 
 if __name__ == "__main__":
-    for name in (sys.argv[1:] or ["go2", "talos"]):
+    for name in (sys.argv[1:] or ["go2", "talos", "go2_fd"]):
         make(name)

@@ -33,6 +33,8 @@ with jax.default_device(cpu):
 kw = {}
 if ALPHAS:
     kw["alphas"] = tuple(float(a) for a in ALPHAS.split(","))
+if os.environ.get("LIN_DTYPE"):  # e.g. LIN_DTYPE=bfloat16 = the benched config
+    kw["lin_dtype"] = os.environ["LIN_DTYPE"]
 solver = ProxDDPSolver(ocp, SolverSettings(mu_init=1e-6, max_iters=1, **kw))
 problems, xs, us = (jax.device_put(a, dev) for a in (problems, xs, us))
 mu = jnp.asarray(3e-4, jnp.float32)

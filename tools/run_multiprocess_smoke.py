@@ -79,6 +79,34 @@ def worker(rank: int) -> None:
           f"global_devices={len(jax.devices())} "
           f"max_prim={float(summary['max_prim']):.3e}", flush=True)
 
+    # -- flagship shape across the process boundary (VERDICT r4 next #8):
+    # the Go2 kinodynamics T=100 benchmark problem, one scenario per
+    # global device, sharded over ('host','dp') — the first time the
+    # flagship program itself crosses a process boundary.
+    from simple_mpc_tpu.configs import make_go2_kinodynamics
+
+    ocp2, mh2, x02 = make_go2_kinodynamics(100)
+    solver2 = ProxDDPSolver(ocp2, SolverSettings(mu_init=1e-6, max_iters=1))
+    T2 = 100
+    problems2 = tile_problem(ocp2.problem, B)
+    x0s2 = jnp.asarray(x02)[None] * (1.0 + 1e-4 * jnp.arange(B)[:, None])
+    problems2 = dataclasses.replace(problems2, x0=x0s2)
+    xs2 = jnp.tile(jnp.asarray(x02)[None, None], (B, T2 + 1, 1))
+    us2 = jnp.tile(jnp.asarray(ocp2.get_reference_control(0))[None, None],
+                   (B, T2, 1))
+    _, summary2 = BatchedSolver(solver2, mesh).run_summarized(
+        problems2, xs2, us2)
+    res2 = BatchedSolver(solver2, mesh=None).run(problems2, xs2, us2)
+    s2 = BatchedSolver(solver2, mesh=None).summary(res2)
+    for key, tol in (("max_prim", 1e-12), ("max_dual", 1e-10),
+                     ("mean_merit", 1e-8)):
+        d = abs(float(summary2[key]) - float(s2[key]))
+        assert d < tol, ("flagship", key, d)
+    assert int(summary2["any_diverged"]) == 0
+    print(f"[rank {rank}] flagship (go2 kinodynamics T=100) across "
+          f"{N_PROC} processes OK: max_prim="
+          f"{float(summary2['max_prim']):.3e}", flush=True)
+
 
 def launch() -> int:
     env = dict(os.environ)
@@ -98,13 +126,14 @@ def launch() -> int:
     rc = 0
     for r, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
             rc = 1
         sys.stdout.write(out)
-        if p.returncode != 0 or "smoke OK" not in out:
+        if (p.returncode != 0 or "smoke OK" not in out
+                or "flagship" not in out):
             rc = 1
     print("MULTIPROCESS SMOKE " + ("PASSED" if rc == 0 else "FAILED"),
           flush=True)

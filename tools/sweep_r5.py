@@ -1,0 +1,93 @@
+"""Round-5 throughput sweep on the real chip, with variance windows.
+
+Times the exact bench.py warm loop (batched 1-iter ProxDDP, warm lams,
+bf16 linearization) across candidate configs — batch size, donation —
+repeating the timed window WINDOWS times per config so a single number is
+never trusted on a tunneled backend with day-to-day variance.
+
+Run:  python tools/sweep_r5.py            (all configs)
+      SWEEP="don B256;don B512" python tools/sweep_r5.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_mpc_tpu.configs import make_go2_kinodynamics
+from simple_mpc_tpu.parallel import BatchedSolver, tile_problem
+from simple_mpc_tpu.solver.proxddp import ProxDDPSolver, SolverSettings
+
+T = int(os.environ.get("T", 100))
+ITERS = int(os.environ.get("ITERS", 20))
+WINDOWS = int(os.environ.get("WINDOWS", 3))
+
+CONFIGS = [
+    # (label, B, donated, dict of SolverSettings overrides)
+    # round-5 measured (2026-08-21, one v5e chip, bf16 tangents):
+    #   base B128 1179.7 | don B128 1181.4 | don B256 1056.1 (worse: past
+    #   the HBM sweet spot) -> donation is ~neutral, optimum is near B=128
+    ("base B128", 128, False, {}),
+    ("don  B128", 128, True, {}),
+    ("don  B256", 256, True, {}),
+    ("don  B512", 512, True, {}),
+    ("don  B96", 96, True, {}),
+    ("don  B160", 160, True, {}),
+    ("don  B192", 192, True, {}),
+    ("don  B128 u10", 128, True, {"scan_unroll": 10}),
+]
+if os.environ.get("SWEEP"):
+    keep = [s.strip() for s in os.environ["SWEEP"].split(";")]
+    CONFIGS = [c for c in CONFIGS if c[0].strip() in keep]
+
+cpu = jax.devices("cpu")[0]
+tpu = jax.devices()[0]
+print(f"device: {tpu}", file=sys.stderr)
+
+with jax.default_device(cpu):
+    ocp, mh, x0 = make_go2_kinodynamics(T)
+
+for label, B, donated, over in CONFIGS:
+    with jax.default_device(cpu):
+        problems = tile_problem(ocp.problem, B)
+        xs = jnp.tile(jnp.asarray(x0, jnp.float32)[None, None], (B, T + 1, 1))
+        us = jnp.tile(jnp.asarray(ocp.get_reference_control(0),
+                                  jnp.float32)[None, None], (B, T, 1))
+        zl = tuple(np.zeros(s, np.float32) for s in
+                   ((B, T, ocp.n_eq), (B, T, ocp.n_in), (B, ocp.n_term_eq)))
+    solver = ProxDDPSolver(ocp, SolverSettings(
+        mu_init=1e-6, max_iters=1, lin_dtype="bfloat16", **over))
+    bs = BatchedSolver(solver, mesh=None)
+    problems = jax.device_put(problems, tpu)
+    xs = jax.device_put(xs, tpu)
+    us = jax.device_put(us, tpu)
+    zl = jax.device_put(zl, tpu)
+    call = bs.run_donated if donated else bs.run
+    try:
+        t_c0 = time.perf_counter()
+        res = call(problems, xs, us, zl)  # the only compile
+        float(np.asarray(res.prim_res).max())
+        compile_s = time.perf_counter() - t_c0
+        # warm in
+        for _ in range(3):
+            lams = (res.lam_eq, res.lam_in, res.lam_term)
+            res = call(problems, res.xs, res.us, lams)
+        float(np.asarray(res.prim_res).max())
+        rates = []
+        for w in range(WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                lams = (res.lam_eq, res.lam_in, res.lam_term)
+                res = call(problems, res.xs, res.us, lams)
+            np.asarray(res.prim_res)  # hard sync (small transfer)
+            rates.append(B * ITERS / (time.perf_counter() - t0))
+        prim = float(np.asarray(res.prim_res).max())
+        rs = " ".join(f"{r:8.1f}" for r in rates)
+        print(f"{label:10s} B={B:4d} solves/s=[{rs}] med={np.median(rates):8.1f} "
+              f"prim={prim:.2e} (compile {compile_s:.0f}s)", flush=True)
+    except Exception as e:
+        print(f"{label:10s} B={B:4d} FAILED: {e!r}", flush=True)
