@@ -56,11 +56,13 @@ def _combine_batched(a, b):
     return jax.vmap(_combine)(b, a)
 
 
-def parallel_backward(lin, Vx_T, Vxx_T, reg):
+def parallel_backward(lin, Vx_T, Vxx_T, reg, dual_scale=None):
     """Drop-in replacement for the serial Riccati scan.
 
     lin: dict of stacked (T, ...) stage expansions (A, B, d, qx, qu, Qxx,
     Quu, Qux).  Returns (ks, Ks, dual_res) matching the serial pass.
+    dual_scale: optional (nu,) factor applied to Qu before the dual-residual
+    max (physical-unit reporting under control scaling).
     """
     A, B, d = lin["A"], lin["B"], lin["d"]
     qx, qu = lin["qx"], lin["qu"]
@@ -113,5 +115,7 @@ def parallel_backward(lin, Vx_T, Vxx_T, reg):
         return -kK[:, 0], -kK[:, 1:], Qu_hat
 
     ks, Ks, Qus = jax.vmap(gains)(A, B, d, qu, Qux, Lq, Quu, S1, v1)
+    if dual_scale is not None:
+        Qus = Qus * dual_scale[None, :]
     dual_res = jnp.max(jnp.abs(Qus))
     return ks, Ks, dual_res

@@ -375,20 +375,40 @@ class ProxDDPSolver:
         """Riccati backward pass: serial lax.scan oracle, or the
         associative-scan parallel-in-time version (settings.parallel) —
         the TPU analogue of Aligator's PARALLEL LQ choice (mpc.cpp:46-52)."""
+        # with u scaling, Qu is the gradient wrt u_hat = u/s; the dual
+        # residual must be reported in PHYSICAL units (|dL/du| = |Qu|/s) or
+        # the BCL omega gate sees s-inflated values and stops promoting
+        # multipliers
+        dual_scale = (None if self._u_scale is None
+                      else 1.0 / jnp.asarray(self._u_scale,
+                                             lin["qu"].dtype))
         if self.settings.parallel:
             from .parallel_riccati import parallel_backward
 
-            return parallel_backward(lin, Vx_T, Vxx_T, reg)
+            return parallel_backward(lin, Vx_T, Vxx_T, reg,
+                                     dual_scale=dual_scale)
 
         def step(carry, s):
             Vx, Vxx = carry
             A, B, d = s["A"], s["B"], s["d"]
+            ndx = A.shape[0]
+            # Merged-products step: the 36/24-sized per-stage matmuls are
+            # far below the MXU tile, so fewer/larger products beat many
+            # small ones.  [A B] concatenated gives the whole Q expansion
+            # in TWO matrix products instead of five, and the condensed
+            # value update (with the exact reg correction — k/K solve
+            # against Quu + reg*diag(dscale^2), so K'QuuK = -K'Qux -
+            # reg*K'DK) needs one more instead of five.
+            AB = jnp.concatenate([A, B], axis=1)  # (ndx, ndx+nu)
             Vx_g = Vx + Vxx @ d  # gap folding (multiple shooting)
-            Qx = s["qx"] + A.T @ Vx_g
-            Qu = s["qu"] + B.T @ Vx_g
-            Qxx = s["Qxx"] + A.T @ Vxx @ A
-            Quu = s["Quu"] + B.T @ Vxx @ B
-            Qux = s["Qux"] + B.T @ Vxx @ A
+            VAB = Vxx @ AB  # (ndx, ndx+nu)
+            H = AB.T @ VAB  # (ndx+nu, ndx+nu)
+            gq = AB.T @ Vx_g
+            Qx = s["qx"] + gq[:ndx]
+            Qu = s["qu"] + gq[ndx:]
+            Qxx = s["Qxx"] + H[:ndx, :ndx]
+            Quu = s["Quu"] + H[ndx:, ndx:]
+            Qux = s["Qux"] + H[ndx:, :ndx]
             nu = Qu.shape[0]
             dtype = Qu.dtype
             # Jacobi preconditioning: D^-1/2 Quu D^-1/2 has unit diagonal
@@ -407,14 +427,21 @@ class ProxDDPSolver:
             sol = chol_solve_unrolled(L, rhs) / dscale[:, None]
             k = -sol[:, 0]
             K = -sol[:, 1:]
-            Vx_new = Qx + K.T @ Qu + Qux.T @ k + K.T @ Quu @ k
-            Vxx_new = Qxx + K.T @ Qux + Qux.T @ K + K.T @ Quu @ K
+            # condensed update: Vx = Qx + Qux'k - reg*K'Dk,
+            # Vxx = Qxx + Qux'K - reg*K'DK (exact for the regularized solve)
+            D_kK = (dscale * dscale)[:, None] * sol  # D @ [-k -K]
+            QxK = Qux.T @ sol  # [-Qux'k -Qux'K] in one product
+            corr = K.T @ D_kK  # (ndx, 1+ndx): reg corrections
+            Vx_new = Qx - QxK[:, 0] + reg * corr[:, 0]
+            Vxx_new = Qxx - QxK[:, 1:] + reg * corr[:, 1:]
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
             return (Vx_new, Vxx_new), (k, K, Qu)
 
         (_, _), (ks, Ks, Qus) = jax.lax.scan(
             step, (Vx_T, Vxx_T), lin, reverse=True,
             unroll=self.settings.scan_unroll)
+        if dual_scale is not None:
+            Qus = Qus * dual_scale[None, :]
         dual_res = jnp.max(jnp.abs(Qus))
         return ks, Ks, dual_res
 

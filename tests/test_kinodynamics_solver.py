@@ -96,3 +96,27 @@ def test_standing_solve():
     # final state close to reference (standing)
     dx = np.asarray(mh.difference(x0, res.xs[-1]))
     assert np.abs(dx).max() < 0.05
+
+
+@pytest.mark.slow
+def test_u_scale_invariance_f64():
+    """SolverSettings.u_scale is a pure reparameterization: Gauss-Newton
+    steps are invariant under linear control scaling in exact arithmetic,
+    so the f64 iterates must coincide (and the returned gains must come
+    back in physical units)."""
+    ocp, mh, dh, x0 = make_go2_kino(T=6)
+    T = 6
+    xs = jnp.tile(jnp.asarray(x0)[None], (T + 1, 1))
+    us = ocp.problem.stage_params.u_ref
+    r0 = ProxDDPSolver(ocp, SolverSettings(mu_init=1e-5, max_iters=6)).run(
+        ocp.problem, xs, us)
+    r1 = ProxDDPSolver(ocp, SolverSettings(mu_init=1e-5, max_iters=6,
+                                           u_scale="auto")).run(
+        ocp.problem, xs, us)
+    np.testing.assert_allclose(np.asarray(r1.us), np.asarray(r0.us),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r1.Ks), np.asarray(r0.Ks),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.ks), np.asarray(r0.ks),
+                               rtol=1e-6, atol=1e-8)
+    assert abs(float(r1.dual_res) - float(r0.dual_res)) < 1e-8

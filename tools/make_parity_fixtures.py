@@ -70,19 +70,46 @@ FIXNAMES = {"go2": "go2_kinodynamics", "talos": "talos_kinodynamics",
             "go2_fd": "go2_fulldynamics"}
 
 
+def _quasistatic_torques(ocp, mh, x0):
+    """Gravity-compensating joint torques at stance: tau = S(nle - Jc^T f)
+    with f the per-foot weight share — the warm start the full-dynamics
+    standing problem needs to converge to KKT 1e-6 from (the reference
+    warms the solver identically through u0 in examples/go2_fulldynamics
+    .py:64-66)."""
+    from simple_mpc_tpu.ops import dynamics as dyn
+    from simple_mpc_tpu.ops import kinematics as kin
+
+    m = mh.model
+    q = jnp.asarray(x0[: m.nq])
+    b = np.asarray(dyn.nle(m, q, jnp.zeros(m.nv)))
+    f_ref = np.asarray(ocp.problem.stage_params.f_ref[0])  # (nk, fs)
+    tau_full = b.copy()
+    for k, fid in enumerate(ocp.feet_fids):
+        J = np.asarray(kin.frame_jacobian(m, q, fid))  # (6, nv) [lin; ang]
+        tau_full -= J[:3].T @ f_ref[k][:3]
+        if f_ref.shape[1] == 6:
+            tau_full -= J[3:].T @ f_ref[k][3:]
+    return tau_full[6:]
+
+
 def make(name):
     ocp, mh = build_ocp(name)
     x0 = np.asarray(mh.reference_state, np.float64)
     solver = ProxDDPSolver(ocp, SolverSettings(
         tol=1e-8, mu_init=1e-4, max_iters=60))
     xs = jnp.tile(jnp.asarray(x0)[None], (T + 1, 1))
-    us = jnp.tile(jnp.asarray(ocp.get_reference_control(0), jnp.float64)[None],
-                  (T, 1))
+    if name == "go2_fd":
+        u0 = _quasistatic_torques(ocp, mh, x0)
+    else:
+        u0 = np.asarray(ocp.get_reference_control(0), np.float64)
+    us = jnp.tile(jnp.asarray(u0, jnp.float64)[None], (T, 1))
     res = solver.run(ocp.problem, xs, us)
     # continue the BCL outer loop from the evolved mu until tight
-    for _ in range(4):
+    for _ in range(8):
         if float(res.prim_res) < 1e-6 and float(res.dual_res) < 1e-6:
             break
+        print(f"{name}: continuing (prim={float(res.prim_res):.2e} "
+              f"dual={float(res.dual_res):.2e})", flush=True)
         res = solver.run(ocp.problem, res.xs, res.us,
                          (res.lam_eq, res.lam_in, res.lam_term), res.mu)
     prim, dual = float(res.prim_res), float(res.dual_res)

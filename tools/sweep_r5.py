@@ -44,6 +44,10 @@ if os.environ.get("SWEEP"):
     keep = [s.strip() for s in os.environ["SWEEP"].split(";")]
     CONFIGS = [c for c in CONFIGS if c[0].strip() in keep]
 
+SCANNED = os.environ.get("SCANNED") == "1"  # chain ITERS warm solves in ONE
+#                                             lax.scan program (no per-call
+#                                             dispatch at all)
+
 cpu = jax.devices("cpu")[0]
 tpu = jax.devices()[0]
 print(f"device: {tpu}", file=sys.stderr)
@@ -67,6 +71,40 @@ for label, B, donated, over in CONFIGS:
     us = jax.device_put(us, tpu)
     zl = jax.device_put(zl, tpu)
     call = bs.run_donated if donated else bs.run
+    if SCANNED:
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        def chain(problems, xs, us, lams):
+            def body(carry, _):
+                xs, us, lams = carry
+                r = jax.vmap(lambda p, x, u, l: solver.run(p, x, u, l))(
+                    problems, xs, us, lams)
+                return (r.xs, r.us, (r.lam_eq, r.lam_in, r.lam_term)), r.prim_res
+            (xs, us, lams), prims = jax.lax.scan(
+                body, (xs, us, lams), None, length=ITERS)
+            return xs, us, lams, prims
+
+        try:
+            t_c0 = time.perf_counter()
+            state = (xs, us, zl)
+            xs_, us_, lams_, prims = chain(problems, *state)
+            float(np.asarray(prims).max())
+            compile_s = time.perf_counter() - t_c0
+            rates = []
+            for w in range(WINDOWS):
+                t0 = time.perf_counter()
+                xs_, us_, lams_, prims = chain(problems, xs_, us_, lams_)
+                np.asarray(prims[-1])
+                rates.append(B * ITERS / (time.perf_counter() - t0))
+            prim = float(np.asarray(prims).max())
+            rs = " ".join(f"{r:8.1f}" for r in rates)
+            print(f"{label:10s} B={B:4d} SCANNED solves/s=[{rs}] "
+                  f"med={np.median(rates):8.1f} prim={prim:.2e} "
+                  f"(compile {compile_s:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"{label:10s} B={B:4d} SCANNED FAILED: {e!r}", flush=True)
+        continue
     try:
         t_c0 = time.perf_counter()
         res = call(problems, xs, us, zl)  # the only compile
