@@ -65,6 +65,8 @@ class RobotModel:
     effort_limit: Optional[np.ndarray] = None  # (nv,)
     friction: Optional[np.ndarray] = None  # (nv,) dry friction coeff
     damping: Optional[np.ndarray] = None  # (nv,) viscous damping
+    rotor_inertia: Optional[np.ndarray] = None  # (nv,) apparent rotor inertia
+    rotor_gear_ratio: Optional[np.ndarray] = None  # (nv,) gear ratios
     reference_configurations: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     gravity: np.ndarray = dataclasses.field(default_factory=lambda: np.array([0.0, 0.0, -9.81]))
 
@@ -98,6 +100,10 @@ class RobotModel:
             self.friction = np.zeros(self.nv)
         if self.damping is None:
             self.damping = np.zeros(self.nv)
+        if self.rotor_inertia is None:
+            self.rotor_inertia = np.zeros(self.nv)
+        if self.rotor_gear_ratio is None:
+            self.rotor_gear_ratio = np.ones(self.nv)
         self._frame_index = {f.name: i for i, f in enumerate(self.frames)}
         self._joint_index = {n: i for i, n in enumerate(self.joint_names)}
 

@@ -86,6 +86,7 @@ def build_reduced_model(
     jR, jp, axes = [], [], []
     inertias: list[_SpatialInertia] = []
     lower, upper, vel_lim, eff_lim, damping, friction = [], [], [], [], [], []
+    rot_in, rot_gr = [], []
     old_kept: list[int] = []  # old joint idx per new joint
 
     def _limit_slices(j: int):
@@ -120,6 +121,8 @@ def build_reduced_model(
             eff_lim.extend(np.asarray(model.effort_limit[sv]))
             damping.extend(np.asarray(model.damping[sv]))
             friction.extend(np.asarray(model.friction[sv]))
+            rot_in.extend(np.asarray(model.rotor_inertia[sv]))
+            rot_gr.extend(np.asarray(model.rotor_gear_ratio[sv]))
             old_kept.append(j)
             support[j] = (new_idx, np.eye(3), np.zeros(3))
         else:
@@ -161,6 +164,7 @@ def build_reduced_model(
         lower_limit=np.array(lower), upper_limit=np.array(upper),
         velocity_limit=np.array(vel_lim), effort_limit=np.array(eff_lim),
         damping=np.array(damping), friction=np.array(friction),
+        rotor_inertia=np.array(rot_in), rotor_gear_ratio=np.array(rot_gr),
         gravity=np.asarray(model.gravity, float).copy(),
     )
 

@@ -46,28 +46,25 @@ TALOS_LOCKED_JOINTS = tuple(
 
 
 def load_talos(reduced: bool = True) -> RobotModel:
-    """Talos biped.  reduced=True (default) mirrors the reference fixture:
-    the full 32-joint model is reduced via build_reduced_model to the
-    22-actuated-joint model every reference Talos config uses
-    (tests/test_utils.cpp:27-63)."""
+    """Talos biped.  Mirrors the reference fixture pipeline exactly
+    (tests/test_utils.cpp:21-63): URDF parse -> SRDF reference
+    configurations + rotor parameters -> (reduced=True, default)
+    build_reduced_model locking everything but legs+torso+arm 1-4 at
+    half_sitting -> the 22-actuated-joint model every reference Talos
+    config uses."""
+    from .srdf import load_reference_configurations, load_rotor_parameters
+
     model = load_urdf(os.path.join(_ASSETS, "talos.urdf"), name="talos")
-    q = model.neutral()
-    q[2] = 1.01
-    # joint order (pinocchio talos tree): legs L(6), legs R(6), torso(2),
-    # arm L(7)+gripper, arm R(7)+gripper, head(2)
-    leg = [0.0, 0.0, -0.411354, 0.859395, -0.448041, -0.001708]
-    q[7:13] = leg
-    q[13:19] = leg
-    q[19:21] = [0.0, 0.006761]  # torso
-    q[21:29] = [0.0, 0.25847, 0.173046, -0.525366, 0.0, 0.0, 0.1, 0.0]
-    q[29:37] = [0.0, -0.25847, -0.173046, -0.525366, 0.0, 0.0, 0.1, 0.0]
-    q[37:39] = [0.0, 0.0]  # head
-    model.reference_configurations["half_sitting"] = q
+    srdf = os.path.join(_ASSETS, "talos.srdf")
+    load_reference_configurations(model, srdf)
+    load_rotor_parameters(model, srdf)
     if not reduced:
         return model
     from .reduce import build_reduced_model
 
-    return build_reduced_model(model, TALOS_LOCKED_JOINTS, q_ref=q)
+    return build_reduced_model(
+        model, TALOS_LOCKED_JOINTS,
+        q_ref=model.reference_configurations["half_sitting"])
 
 
 LOADERS = {"go2": load_go2, "solo12": load_solo12, "talos": load_talos}

@@ -167,3 +167,44 @@ def test_lock_errors():
         build_reduced_model(full, ["nope_joint"])
     with pytest.raises(ValueError, match="root"):
         build_reduced_model(full, ["root_joint"])
+
+
+def test_srdf_reference_configurations_and_rotors():
+    """SRDF loading (pinocchio::srdf::loadReferenceConfigurations /
+    loadRotorParameters parity, reference tests/test_utils.cpp:22-24):
+    the shipped talos.srdf reproduces the half_sitting posture on the
+    full model, survives reduction, and fills per-dof rotor params."""
+    import os
+
+    from simple_mpc_tpu.models.srdf import (load_reference_configurations,
+                                            load_rotor_parameters)
+    from simple_mpc_tpu.models.urdf import load_urdf
+
+    assets = os.path.join(os.path.dirname(robots.__file__), "assets")
+    model = load_urdf(os.path.join(assets, "talos.urdf"), name="talos")
+    srdf_path = os.path.join(assets, "talos.srdf")
+    cfgs = load_reference_configurations(model, srdf_path)
+    assert "half_sitting" in cfgs
+    q = cfgs["half_sitting"]
+    assert q.shape == (model.nq,)
+    assert np.isclose(q[2], 1.01)
+    j = model.joint_id("leg_left_4_joint")
+    assert np.isclose(q[model.idx_q[j]], 0.859395)
+    ri, gr = load_rotor_parameters(model, srdf_path)
+    j = model.joint_id("arm_left_6_joint")
+    assert np.isclose(gr[model.idx_v[j]], 160.0)
+    assert np.isclose(ri[model.idx_v[j]], 3.0e-5)
+    assert np.all(gr[:6] == 1.0) and np.all(ri[:6] == 0.0)  # free-flyer
+
+    # wrong value arity raises
+    import pytest as _pytest
+
+    bad = ('<robot name="t"><group_state name="x">'
+           '<joint name="leg_left_1_joint" value="1 2"/></group_state></robot>')
+    with _pytest.raises(ValueError, match="expects 1"):
+        load_reference_configurations(model, bad, update_model=False)
+
+    # reduction carries the registered configuration + rotor params
+    red = robots.load_talos()
+    assert red.reference_configurations["half_sitting"].shape == (red.nq,)
+    assert int((red.rotor_inertia > 0).sum()) == red.nu

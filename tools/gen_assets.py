@@ -220,10 +220,51 @@ def gen_talos():
     return u
 
 
+def gen_talos_srdf():
+    """Talos SRDF: the half_sitting reference configuration + rotor
+    parameters, mirroring what the reference loads from talos_data/srdf
+    (tests/test_utils.cpp:22-24).  Values follow the public talos
+    half-sitting posture; rotor inertia/gear-ratio figures are spec-sheet
+    approximate."""
+    s = '<?xml version="1.0"?>\n<robot name="talos">\n'
+    s += '  <group_state name="half_sitting" group="all">\n'
+    s += '    <joint name="root_joint" value="0 0 1.01 0 0 0 1"/>\n'
+    leg = [0.0, 0.0, -0.411354, 0.859395, -0.448041, -0.001708]
+    for side in ("left", "right"):
+        for i, v in enumerate(leg):
+            s += f'    <joint name="leg_{side}_{i+1}_joint" value="{v}"/>\n'
+    s += '    <joint name="torso_1_joint" value="0"/>\n'
+    s += '    <joint name="torso_2_joint" value="0.006761"/>\n'
+    arm = [0.0, 0.25847, 0.173046, -0.525366, 0.0, 0.0, 0.1]
+    for side, sgn in (("left", 1.0), ("right", -1.0)):
+        for i, v in enumerate(arm):
+            s += (f'    <joint name="arm_{side}_{i+1}_joint" '
+                  f'value="{sgn * v if i in (1, 2) else v}"/>\n')
+        s += f'    <joint name="gripper_{side}_joint" value="0"/>\n'
+    s += '    <joint name="head_1_joint" value="0"/>\n'
+    s += '    <joint name="head_2_joint" value="0"/>\n'
+    s += '  </group_state>\n'
+    s += '  <rotor_params>\n'
+    groups = ([(f"leg_{side}_{i}_joint", 1.39e-4, 100.0)
+               for side in ("left", "right") for i in range(1, 7)]
+              + [("torso_1_joint", 1.39e-4, 100.0),
+                 ("torso_2_joint", 1.39e-4, 100.0)]
+              + [(f"arm_{side}_{i}_joint", 1.39e-4, 100.0)
+                 for side in ("left", "right") for i in range(1, 5)]
+              + [(f"arm_{side}_{i}_joint", 3.0e-5, 160.0)
+                 for side in ("left", "right") for i in range(5, 8)])
+    for name, m, gr in groups:
+        s += f'    <joint name="{name}" mass="{m}" gear_ratio="{gr}"/>\n'
+    s += '  </rotor_params>\n'
+    s += "</robot>\n"
+    return s
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     for fname, gen in (("go2.urdf", gen_go2), ("solo12.urdf", gen_solo12),
-                       ("talos.urdf", gen_talos)):
+                       ("talos.urdf", gen_talos),
+                       ("talos.srdf", gen_talos_srdf)):
         with open(os.path.join(OUT, fname), "w") as f:
             f.write(gen())
         print("wrote", fname)

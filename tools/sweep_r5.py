@@ -35,6 +35,7 @@ CONFIGS = [
     ("don  B128", 128, True, {}),
     ("don  B256", 256, True, {}),
     ("don  B512", 512, True, {}),
+    ("base B160", 160, False, {}),  # NaN probe: don B160 produced prim=nan
     ("don  B96", 96, True, {}),
     ("don  B160", 160, True, {}),
     ("don  B192", 192, True, {}),
