@@ -427,13 +427,20 @@ class ProxDDPSolver:
             sol = chol_solve_unrolled(L, rhs) / dscale[:, None]
             k = -sol[:, 0]
             K = -sol[:, 1:]
-            # condensed update: Vx = Qx + Qux'k - reg*K'Dk,
-            # Vxx = Qxx + Qux'K - reg*K'DK (exact for the regularized solve)
-            D_kK = (dscale * dscale)[:, None] * sol  # D @ [-k -K]
-            QxK = Qux.T @ sol  # [-Qux'k -Qux'K] in one product
-            corr = K.T @ D_kK  # (ndx, 1+ndx): reg corrections
-            Vx_new = Qx - QxK[:, 0] + reg * corr[:, 0]
-            Vxx_new = Qxx - QxK[:, 1:] + reg * corr[:, 1:]
+            # explicit PSD value update assembled from merged products
+            # (P = [-k -K]): the condensed form Vxx = Qxx + Qux'K -
+            # reg*K'DK relies on analytic cancellation of the large
+            # K'QuuK term and loses positive-semidefiniteness under f32
+            # ill-conditioning at contact switches (measured: NaN'd the
+            # full-dynamics walking loop); the explicit quadratic form
+            # keeps the PSD structure the recursion needs.
+            QuuP = Quu @ sol  # (nu, 1+ndx)
+            PtQuuP = sol.T @ QuuP  # [[k'Quuk, k'QuuK],[K'Quuk, K'QuuK]]
+            QuxtP = Qux.T @ sol  # [-Qux'k | -Qux'K]
+            KtQu = -sol[:, 1:].T @ Qu
+            Vx_new = Qx + KtQu - QuxtP[:, 0] + PtQuuP[1:, 0]
+            Vxx_new = (Qxx - QuxtP[:, 1:] - QuxtP[:, 1:].T
+                       + PtQuuP[1:, 1:])
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
             return (Vx_new, Vxx_new), (k, K, Qu)
 

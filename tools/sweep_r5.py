@@ -35,7 +35,13 @@ CONFIGS = [
     ("don  B128", 128, True, {}),
     ("don  B256", 256, True, {}),
     ("don  B512", 512, True, {}),
-    ("base B160", 160, False, {}),  # NaN probe: don B160 produced prim=nan
+    # B=160 NaN: BOTH donated and plain runs return prim=nan on the axon
+    # TPU backend at B=160 (919/908 solves/s), while B=96/128/256 are clean
+    # (prim 6.03e-05) and the IDENTICAL B=160 program on the CPU backend is
+    # clean (prim 5.97e-05, all finite).  Verdict: batch-shape-dependent
+    # miscompile / fusion-order edge of the experimental axon backend, not
+    # framework math.  The benched configs stay on B=128.
+    ("base B160", 160, False, {}),
     ("don  B96", 96, True, {}),
     ("don  B160", 160, True, {}),
     ("don  B192", 192, True, {}),
