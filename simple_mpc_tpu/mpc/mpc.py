@@ -274,18 +274,30 @@ class MPC:
         lams = (jnp.concatenate([lam_eq[1:], lam_eq[-1:]], axis=0),
                 jnp.concatenate([lam_in[1:], lam_in[-1:]], axis=0), lam_term)
         res = self.solver.run(oh.problem, xs, us, lams)
-        self.xs, self.us, self.Ks = res.xs, res.us, res.Ks
-        self.lams = (res.lam_eq, res.lam_in, res.lam_term)
-        self._last_results = res
         self.diverged = bool(res.diverged)
         if self.diverged:
+            # Failure recovery (the production behavior the bare warning
+            # of rounds 2-4 lacked): discard the poisoned iterate and
+            # coast one tick on the pre-solve shifted plan — xs/us are the
+            # previous solution shifted (finite by construction), gains
+            # stay at the last good Ks, and the AL multipliers reset to
+            # zero so the next tick's solve starts from a clean dual
+            # state.  Consumers keep receiving finite commands.
             import warnings
 
             warnings.warn(
                 "MPC.iterate: solver produced a non-finite iterate "
-                f"(prim={float(res.prim_res):.3e}); the warm start is "
-                "poisoned — reset xs/us before the next tick",
+                f"(prim={float(res.prim_res):.3e}); recovering by "
+                "coasting on the shifted previous plan and resetting "
+                "multipliers",
                 RuntimeWarning, stacklevel=2)
+            zl = jax.tree_util.tree_map(jnp.zeros_like, lams)
+            res = res._replace(xs=xs, us=us, ks=jnp.zeros_like(res.ks),
+                               Ks=self.Ks, lam_eq=zl[0], lam_in=zl[1],
+                               lam_term=zl[2])
+        self.xs, self.us, self.Ks = res.xs, res.us, res.Ks
+        self.lams = (res.lam_eq, res.lam_in, res.lam_term)
+        self._last_results = res
         return res
 
     # ------------------------------------------------------------------
